@@ -1,0 +1,155 @@
+"""Triple extraction over the interleaved span sequence (SURVEY.md §2.8 #2).
+
+Re-expresses the reference's per-encounter relation appends as a set-wise
+batch transform:
+
+  - child_page / child_database span  → (doc, CONTAINS, target)
+      notion_provider.py:141-150 (database items), :219-225 (child blocks)
+  - link_to_page span                 → (doc, REFERENCES, target)
+      notion_provider.py:227-233
+  - markdown links inside rich-text spans → (doc, REFERENCES, uuid|url,
+      context = span plain text)       notion_provider.py:265-286
+  - bookmark/embed/link_preview span  → (doc, REFERENCES, url)
+      notion_provider.py:199-203,238-244
+  - property spans (relation / rich_text / title / url) → REFERENCES with
+      the reference's context prefixes  notion_provider.py:337-387
+
+Every subj/obj goes through uuid canonicalization (notion_provider.py:169,
+36-37). Runs as ``mapInPandas`` so the explode happens inside the Arrow
+batch (no nested-array materialization), one pass over each partition —
+the shape that holds at 10^12 documents because a task only ever sees its
+own partition's spans.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knowledge_nexus_spark.schema import (
+    REL_CONTAINS,
+    REL_REFERENCES,
+    RICH_TEXT_KINDS,
+    TRIPLES_SCHEMA,
+)
+
+MD_LINK_RE = re.compile(r"\[([^\]]*)\]\(([^)]+)\)")
+_UUID_BODY = r"[a-f0-9]{8}-?[a-f0-9]{4}-?[a-f0-9]{4}-?[a-f0-9]{4}-?[a-f0-9]{12}"
+NOTION_HREF_RE = re.compile(
+    r"(?:https://www\.notion\.so)?/(?:[a-zA-Z0-9-]+/)?(?:[a-zA-Z0-9-]+-)?(" + _UUID_BODY + r")"
+)
+DASHED_UUID_RE = re.compile(r"^\w{8}-\w{4}-\w{4}-\w{4}-\w{12}$")
+
+_RICH_KINDS = set(RICH_TEXT_KINDS)
+
+
+def norm_uuid(value: str) -> str:
+    """Strip dashes iff the value is a dashed uuid (notion_provider.py:36-37)."""
+    return value.replace("-", "") if DASHED_UUID_RE.match(value) else value
+
+
+def href_uuid(href: str) -> str | None:
+    """Undashed uuid from a Notion URL or None (notion_provider.py:18-33)."""
+    m = NOTION_HREF_RE.match(href)
+    return m.group(1).replace("-", "") if m else None
+
+
+def _link_triples(doc: str, text: str, ctx_prefix: str | None, out: list) -> None:
+    """Markdown links in rich text → REFERENCES triples.
+
+    Context = the span's full plain text (the reference passes the whole
+    rich-text array's plain concat as context, notion_provider.py:270-271),
+    optionally behind a property prefix (notion_provider.py:370-380)."""
+    links = MD_LINK_RE.findall(text)
+    if not links:
+        return
+    plain = MD_LINK_RE.sub(r"\1", text)
+    ctx = f"{ctx_prefix}\n{plain}" if ctx_prefix else plain
+    for _anchor, href in links:
+        uuid = href_uuid(href)
+        obj = uuid if uuid else href
+        out.append((doc, REL_REFERENCES, obj, ctx))
+
+
+def extract_doc_triples(doc_id: str, spans: list | None) -> list[tuple]:
+    """All (subj, pred, obj, context) emitted by one document, span order."""
+    out: list[tuple] = []
+    if spans is None or len(spans) == 0:
+        return out
+    doc = norm_uuid(doc_id)
+    for s in spans:
+        kind = s["kind"]
+        text = s.get("text") or ""
+        ref = s.get("media_ref")
+        if kind in ("child_page", "child_database"):
+            if ref:
+                out.append((doc, REL_CONTAINS, norm_uuid(ref), None))
+        elif kind == "link_to_page":
+            if ref:
+                out.append((doc, REL_REFERENCES, norm_uuid(ref), None))
+        elif kind in ("bookmark", "embed", "link_preview"):
+            if ref:
+                out.append((doc, REL_REFERENCES, ref, None))
+        elif kind in _RICH_KINDS:
+            _link_triples(doc, text, None, out)
+        elif kind == "prop_relation":
+            if ref:
+                out.append((doc, REL_REFERENCES, norm_uuid(ref),
+                            f"Relation property **{text or 'Relation'}**"))
+        elif kind == "prop_url":
+            if ref:
+                out.append((doc, REL_REFERENCES, ref,
+                            f"Url property **{text or 'URL'}**"))
+        elif kind == "prop_rich_text":
+            _link_triples(doc, text, f"Text property **{(ref or 'Name')}**:", out)
+        elif kind == "prop_title":
+            _link_triples(doc, text, f"Title property **{(ref or 'Name')}**:", out)
+    return out
+
+
+def extract_triples(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans, ...) → triples(subj, pred, obj, context).
+
+    Only content-bearing documents should be passed in (the archived /
+    in-trash gate is a cheap native filter applied by the caller BEFORE
+    this opaque UDF — Catalyst cannot push through it)."""
+
+    cols = ["subj", "pred", "obj", "context"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                rows.extend(extract_doc_triples(doc_id, spans))
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series(dtype=object) for c in cols}
+            )
+
+    return documents.select("doc_id", "spans").mapInPandas(gen, schema=TRIPLES_SCHEMA)
+
+
+def bookmark_nodes(triples: DataFrame) -> DataFrame:
+    """Bookmark nodes for external-URL objects (notion_provider.py:288-296).
+
+    The reference scrapes (title, description) per URL (web_scraper.py:9-15);
+    here both are synthesized deterministically from the URL itself, JVM-side.
+    One node per distinct URL (first-encounter-wins in the reference's dict —
+    identical because our synthesis is a pure function of the URL)."""
+    urls = (
+        triples.filter(F.col("obj").rlike("^https?://"))
+        .select(F.col("obj").alias("id"))
+        .distinct()
+    )
+    return urls.select(
+        "id",
+        F.concat(F.lit("Web "), F.substring(F.md5("id"), 1, 8)).alias("title"),
+        F.lit("Bookmark").alias("type"),
+        F.col("id").alias("url"),
+        F.concat(F.lit("Meta description for "), F.col("id")).alias("content"),
+        F.lit("Web").alias("source"),
+        F.lit(None).cast("string").alias("last_edited_time"),
+    )

@@ -1,0 +1,134 @@
+"""Relational graph operators: freshness dedup, orphan handling, node build.
+
+Each is the set-wise equivalent of an imperative reference routine:
+  - freshness_dedup   ← last-writer-wins dict update (notion_provider.py:315-319)
+  - clean_orphans     ← GraphBuilder.clean_orphan_relations (graph_builder.py:78-85)
+  - add_missing_nodes ← GraphBuilder.add_missing_pages (graph_builder.py:34-61)
+  - page_nodes        ← GraphPage construction + title tagging
+                        (notion_provider.py:96-100,322-330,401-406)
+
+Scale notes: the node-id side of the semi/anti joins is a projection of a
+single string column — at corpus scale Spark's AQE converts these to
+broadcast or shuffled hash joins as sizes dictate; we do not force a
+broadcast here because at 10^12 docs the node set is NOT small. The
+endpoint-distinct in add_missing_nodes is the skew point (a hub entity
+appears in a large fraction of triples) — distinct is implemented as a
+two-phase partial aggregation which Spark does map-side automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def freshness_dedup(documents: DataFrame) -> DataFrame:
+    """Keep the newest version per doc_id (strictly-newer-wins).
+
+    last_edited_time is an ISO-8601 string with fixed format, so the
+    string sort order equals the timestamp order at equal format — we
+    still parse to timestamp for correctness with heterogeneous inputs.
+    Deterministic tie-break on the raw string."""
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(
+            F.to_timestamp(
+                F.col("last_edited_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"
+            ).desc_nulls_last(),
+            F.col("last_edited_time").desc_nulls_last(),
+        )
+    )
+    return (
+        documents.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def page_nodes(
+    documents: DataFrame, add_archived: bool = False, add_removed: bool = False
+) -> DataFrame:
+    """documents → node rows with archived/in-trash gates and title tags."""
+    keep = F.lit(True)
+    if not add_archived:
+        keep = keep & ~F.col("archived")
+    if not add_removed:
+        keep = keep & ~F.col("in_trash")
+    title = (
+        F.when(F.col("archived"), F.concat(F.lit("[ARCHIVED] "), F.col("title")))
+        .when(F.col("in_trash"), F.concat(F.lit("[REMOVED] "), F.col("title")))
+        .otherwise(F.col("title"))
+    )
+    return documents.filter(keep).select(
+        F.col("doc_id").alias("id"),
+        title.alias("title"),
+        F.when(F.col("doc_kind") == "database", F.lit("Database"))
+        .otherwise(F.lit("Page"))
+        .alias("type"),
+        "url",
+        F.lit(None).cast("string").alias("content"),
+        F.lit("Notion").alias("source"),
+        "last_edited_time",
+    )
+
+
+def content_docs(documents: DataFrame) -> DataFrame:
+    """Documents whose content (spans) is processed: never archived/in-trash
+    (notion_provider.py:408-412), regardless of the node-add flags."""
+    return documents.filter(~F.col("archived") & ~F.col("in_trash"))
+
+
+def clean_orphans(triples: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Keep triples whose BOTH endpoints exist in nodes (left-semi ×2)."""
+    ids = nodes.select(F.col("id"))
+    return (
+        triples.join(ids, triples["subj"] == ids["id"], "left_semi")
+        .join(ids, triples["obj"] == ids["id"], "left_semi")
+    )
+
+
+def add_missing_nodes(triples: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Synthesize 'Unprocessed' nodes for endpoints absent from nodes.
+
+    Source inheritance: a missing subj inherits the source of a prepared
+    obj on any triple that references it (and vice versa); 'Unknown' when
+    no prepared opposite endpoint exists. The reference does this
+    per-encounter in relation order (graph_builder.py:34-48) — set-wise we
+    take the min source for determinism."""
+    ids = nodes.select("id")
+    node_src = nodes.select("id", "source")
+
+    subj_side = (
+        triples.join(ids, triples["subj"] == ids["id"], "left_anti")
+        .join(node_src, triples["obj"] == node_src["id"], "left")
+        .select(F.col("subj").alias("mid"), F.col("source"))
+    )
+    obj_side = (
+        triples.join(ids, triples["obj"] == ids["id"], "left_anti")
+        .join(node_src, triples["subj"] == node_src["id"], "left")
+        .select(F.col("obj").alias("mid"), F.col("source"))
+    )
+    missing = (
+        subj_side.unionByName(obj_side)
+        .groupBy("mid")
+        .agg(F.min("source").alias("source"))
+        .select(
+            F.col("mid").alias("id"),
+            F.lit("Unprocessed").alias("title"),
+            F.lit("Page").alias("type"),
+            F.lit("").alias("url"),
+            F.lit(None).cast("string").alias("content"),
+            F.coalesce(F.col("source"), F.lit("Unknown")).alias("source"),
+            F.lit(None).cast("string").alias("last_edited_time"),
+        )
+    )
+    return nodes.unionByName(missing)
+
+
+def distinct_triples(triples: DataFrame) -> DataFrame:
+    """Post-MERGE edge set: the Cypher MERGE key includes the context
+    payload (neo4j_manager.py:230-238), with NULL context stored as ''."""
+    return (
+        triples.withColumn("context", F.coalesce(F.col("context"), F.lit("")))
+        .dropDuplicates(["subj", "pred", "obj", "context"])
+    )
