@@ -1,0 +1,116 @@
+"""Iterative connected components for alias canonicalization (G3).
+
+The reference's alias resolution is pointwise (normalize_uuid merges the
+dashed/undashed classes, notion_provider.py:36-37; bookmarks merge by URL
+identity, :288-296). The north-star requirement generalizes this to
+cross-source coreference: alias PAIRS (from normalization, URL identity,
+and entity-linking matches) form an undirected graph whose connected
+components are the canonical entities.
+
+Algorithm: min-label propagation to fixpoint (the alternating-join form of
+Kiveris et al.'s star contraction — alias graphs are near-star-shaped, so
+convergence is 2-4 rounds). Each round:
+
+    candidate(id) = min(label over {id} ∪ neighbors(id))
+
+with an EXPLICIT two-phase salted aggregation: a hub entity referenced by
+millions of docs makes one reduce key arbitrarily hot, so the first
+aggregation groups on (id, salt = xxhash64(label) % n_salt) and the second
+reduces the ≤ n_salt partials per id. ``localCheckpoint`` every round cuts
+the lineage so plan size stays O(1) in rounds.
+
+Driver-side loop over DataFrames — the idiomatic Spark shape for iterative
+graph algorithms without GraphX/graphframes on the classpath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    n_salt: int = 16,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """edges(src, dst) undirected → (id, component) with component = min id.
+
+    Vertices are derived from the edge list; isolated vertices (no edges)
+    are their own components and can be unioned in by the caller."""
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    sym = sym.filter(F.col("a") != F.col("b")).distinct()
+
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+        sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_labels = sym.join(labels, sym["a"] == labels["id"], "inner").select(
+            F.col("b").alias("id"), F.col("label")
+        )
+        cand = nbr_labels.unionByName(labels.select("id", "label"))
+
+        # explicit salt → partial min per (id, salt) → final min per id
+        salted = cand.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("label")), F.lit(n_salt))
+        )
+        partial = salted.groupBy("id", "_salt").agg(F.min("label").alias("label"))
+        new_labels = partial.groupBy("id").agg(F.min("label").alias("label"))
+
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def canonical_map(alias_edges: DataFrame, all_ids: DataFrame) -> DataFrame:
+    """(id, canonical_id) for every id in ``all_ids`` — identity when the id
+    participates in no alias class. Join this against triples' subj/obj to
+    rewrite them (broadcast if small; shuffle join otherwise)."""
+    comp = connected_components(alias_edges)
+    return (
+        all_ids.select(F.col("id"))
+        .distinct()
+        .join(comp, "id", "left")
+        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("canonical_id"))
+    )
+
+
+def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj through the canonical map (two hash joins)."""
+    m_subj = mapping.select(
+        F.col("id").alias("_sid"), F.col("canonical_id").alias("_scanon")
+    )
+    m_obj = mapping.select(
+        F.col("id").alias("_oid"), F.col("canonical_id").alias("_ocanon")
+    )
+    return (
+        triples.join(m_subj, triples["subj"] == m_subj["_sid"], "left")
+        .join(m_obj, triples["obj"] == m_obj["_oid"], "left")
+        .select(
+            F.coalesce(F.col("_scanon"), F.col("subj")).alias("subj"),
+            F.col("pred"),
+            F.coalesce(F.col("_ocanon"), F.col("obj")).alias("obj"),
+            F.col("context"),
+        )
+    )

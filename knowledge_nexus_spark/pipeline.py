@@ -41,6 +41,11 @@ class PipelineConfig:
     embedding_dim: int = 64
     chunk_size: int = 200  # token budget (config.yaml:50 max_tokens, scaled down)
     chunk_overlap: int = 20  # config.yaml:51 overlap, scaled proportionally
+    with_chunks: bool = True  # stage 3 (chunk + embed + HAS_CHUNK edges)
+    with_linking: bool = False  # stage 4 (J10 mention→entity LINKS_TO edges)
+    canonicalize: bool = False  # stage 5 (G3 alias connected components)
+    link_min_cosine: float = 0.6
+    alias_min_cosine: float = 0.95  # entity-entity merge confidence
 
 
 @dataclass
@@ -90,3 +95,106 @@ def build_graph(
 
     edges = distinct_triples(kept)
     return GraphResult(nodes=all_nodes, edges=edges, triples_raw=triples_raw)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    workdir: str,
+    cfg: PipelineConfig | None = None,
+):
+    """Full checkpointed run: every stage is a committed snapshot, a rerun
+    resumes from the last committed one (SURVEY.md §4.4). Returns the
+    checkpointer (whose ``metrics`` carry per-stage per-partition lineage)
+    plus the final nodes/edges/chunks DataFrames."""
+    from knowledge_nexus_spark.operators.chunking import chunk_and_embed, has_chunk_triples
+    from knowledge_nexus_spark.storage.checkpoint import StageCheckpointer
+
+    cfg = cfg or PipelineConfig()
+    ck = StageCheckpointer(spark, workdir)
+
+    docs = ck.load_or_compute("s1_documents", lambda: freshness_dedup(documents))
+
+    processed = content_docs(docs)
+    triples_raw = ck.load_or_compute("s2_triples_raw", lambda: extract_triples(processed))
+
+    def _nodes():
+        nodes = page_nodes(docs, cfg.add_archived, cfg.add_removed)
+        if cfg.render_content:
+            rendered = processed.select(
+                "doc_id", render_spans(F.col("spans")).alias("_rendered")
+            )
+            nodes = (
+                nodes.drop("content")
+                .join(rendered, nodes["id"] == rendered["doc_id"], "left")
+                .select(
+                    "id", "title", "type", "url",
+                    F.col("_rendered").alias("content"),
+                    "source", "last_edited_time",
+                )
+            )
+        return nodes.unionByName(bookmark_nodes(triples_raw))
+
+    nodes = ck.load_or_compute("s3_nodes", _nodes)
+
+    chunks = None
+    extra_edges = None
+    if cfg.with_chunks:
+        chunks = ck.load_or_compute(
+            "s4_chunks",
+            lambda: chunk_and_embed(
+                nodes, cfg.chunk_size, cfg.chunk_overlap, cfg.embedding_dim
+            ),
+        )
+        extra_edges = has_chunk_triples(chunks)
+
+    if cfg.with_linking:
+        from knowledge_nexus_spark.operators.linking import detect_mentions, link_entities
+
+        def _links():
+            mentions = detect_mentions(processed)
+            entities = nodes.select("id", F.col("title").alias("name"))
+            return link_entities(
+                mentions, entities, min_cosine=cfg.link_min_cosine,
+                embedding_dim=cfg.embedding_dim,
+            )
+
+        links = ck.load_or_compute("s5_links", _links)
+        link_edges = links.select(
+            F.col("doc_id").alias("subj"),
+            F.lit("LINKS_TO").alias("pred"),
+            F.col("entity_id").alias("obj"),
+            F.col("mention").alias("context"),
+        )
+        extra_edges = link_edges if extra_edges is None else extra_edges.unionByName(link_edges)
+
+    def _edges():
+        base = triples_raw
+        if cfg.canonicalize and cfg.with_linking:
+            from knowledge_nexus_spark.operators.components import canonical_map, rewrite_triples
+
+            links = ck.load("s5_links")
+            alias_edges = (
+                links.filter(F.col("cosine") >= cfg.alias_min_cosine)
+                .select(F.col("mention").alias("src"), F.col("entity_id").alias("dst"))
+            )
+            mapping = canonical_map(alias_edges, nodes.select("id"))
+            base = rewrite_triples(base, mapping)
+        if cfg.create_unprocessed:
+            kept = base
+        else:
+            kept = clean_orphans(base, nodes)
+        if extra_edges is not None:
+            kept = kept.unionByName(extra_edges)
+        return distinct_triples(kept)
+
+    edges = ck.load_or_compute("s6_edges", _edges)
+
+    final_nodes = nodes
+    if cfg.create_unprocessed:
+        final_nodes = ck.load_or_compute(
+            "s7_nodes_final", lambda: add_missing_nodes(ck.load("s2_triples_raw"), nodes)
+        )
+
+    ck.write_run_metrics()
+    return ck, final_nodes, edges, chunks

@@ -1,0 +1,93 @@
+"""Connected components vs a pure-Python union-find, incl. skew + property
+tests (SURVEY.md §5 rebuild strategy item 4)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from knowledge_nexus_spark.operators.components import (
+    canonical_map,
+    connected_components,
+    rewrite_triples,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical = min element of each component
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), []).append(x)
+    out = {}
+    for root, members in comp.items():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    want = _union_find(edges)
+    assert got == want
+
+
+def test_simple_chain(spark):
+    _check(spark, [("a", "b"), ("b", "c"), ("d", "e")])
+
+
+def test_star_and_cycle(spark):
+    edges = [("hub", f"n{i}") for i in range(30)] + [("x", "y"), ("y", "z"), ("z", "x")]
+    _check(spark, edges)
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")
+            for _ in range(rng.randint(20, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        _check(spark, edges)
+
+
+def test_hot_key_skew_converges(spark):
+    """One hub at 100× median degree (the reference's root-page shape)."""
+    edges = [("hub", f"leaf{i}") for i in range(400)]
+    edges += [(f"leaf{i}", f"leaf2_{i}") for i in range(0, 400, 50)]
+    _check(spark, edges)
+
+
+def test_canonical_map_and_rewrite(spark):
+    alias = spark.createDataFrame([("b", "a"), ("c", "b")], ["src", "dst"])
+    ids = spark.createDataFrame([("a",), ("b",), ("c",), ("solo",)], ["id"])
+    mapping = canonical_map(alias, ids)
+    got = {r.id: r.canonical_id for r in mapping.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "solo": "solo"}
+
+    triples = spark.createDataFrame(
+        [("c", "REFERENCES", "solo", None), ("solo", "CONTAINS", "b", "ctx")],
+        ["subj", "pred", "obj", "context"],
+    )
+    rewritten = {(r.subj, r.pred, r.obj) for r in rewrite_triples(triples, mapping).collect()}
+    assert rewritten == {("a", "REFERENCES", "solo"), ("solo", "CONTAINS", "a")}
