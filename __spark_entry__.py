@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction pipeline over sf0.001 via the
+flat-text connector; ``queries``/``oracle_sql`` expose the operator suite
+from SURVEY.md §2 (KG ops, dedup family, similarity search, text analysis,
+TPC-H-style plans, event windows) with DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -15,24 +14,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → spans → extract triples → orphan clean →
+    MERGE-distinct edges (the reference's ingest pipeline end-to-end)."""
+    from knowledge_nexus_spark.pipeline import PipelineConfig, build_graph
+    from knowledge_nexus_spark.sources.flat_text import flat_docs_to_span_docs
+
+    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = flat_docs_to_span_docs(flat)
+    result = build_graph(spark, docs, PipelineConfig(render_content=True))
+    return result.edges.select("subj", "pred", "obj", "context")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from knowledge_nexus_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from knowledge_nexus_spark.plans.driver_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

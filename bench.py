@@ -1,0 +1,121 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR plus the
+KG-construction pipeline (triples/sec) on the synthesized interleaved-span
+corpus. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: kg_triples, kg_triples_per_sec (the BASELINE.md north metric).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_KG_DOCS (default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "kg_pipeline_triples",
+    "kg_freshness_dedup",
+    "kg_orphan_clean",
+    "kg_comention",
+    "kg_khop2",
+    "kg_gazetteer_mentions",
+    "dedup_exact",
+    "dedup_embedding",
+    "ann_topk",
+    "text_stats",
+    "text_lang",
+    "tpch_q1",
+    "tpch_top_orders",
+    "tpch_region_revenue",
+    "events_windowed",
+    "events_sessionize",
+]
+
+
+def _materialize(df) -> int:
+    """Force full computation without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_corpus_path(n_docs: int, seed: int) -> str:
+    return f"/tmp/knx_bench_corpus_n{n_docs}_s{seed}"
+
+
+def ensure_corpus(spark, n_docs: int, seed: int = 42) -> str:
+    """Generate (once) and persist the spans corpus — generation is NOT
+    part of the timed pipeline."""
+    from knowledge_nexus_spark.datagen import CorpusConfig, generate_documents
+
+    path = bench_corpus_path(n_docs, seed)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_documents(spark, CorpusConfig(n_docs=n_docs, seed=seed)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_kg_pipeline_bench(spark, n_docs: int) -> dict:
+    """Full extract → render → orphan clean → MERGE-distinct over the
+    interleaved corpus; returns wall seconds + distinct-triple throughput."""
+    from knowledge_nexus_spark.pipeline import PipelineConfig, build_graph
+
+    path = ensure_corpus(spark, n_docs)
+    docs = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    res = build_graph(spark, docs, PipelineConfig(render_content=True))
+    _materialize(res.nodes)
+    n_triples = res.edges.count()
+    wall = time.perf_counter() - t0
+    return {"wall_sec": wall, "triples": n_triples, "triples_per_sec": n_triples / wall}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
+
+    from knowledge_nexus_spark.plans.driver_queries import QUERIES
+    from knowledge_nexus_spark.session import get_spark
+
+    spark = get_spark("knx-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    kg = run_kg_pipeline_bench(spark, kg_docs)
+    times["kg_pipeline_spans"] = round(kg["wall_sec"], 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "kg_docs": kg_docs,
+        "kg_triples": kg["triples"],
+        "kg_triples_per_sec": round(kg["triples_per_sec"], 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

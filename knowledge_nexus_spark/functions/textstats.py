@@ -1,0 +1,91 @@
+"""Text analysis over document corpora — language ID, quality scoring,
+token counting, fingerprinting (driver-mandated training-data extensions).
+
+Everything here is a NATIVE column expression (JVM, whole-stage codegen):
+these run per document over 10^12 rows, so no Python may touch the hot
+path. Each has a clean SQL equivalent for DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# a tiny embedded English stopword list — deterministic, oracle-friendly
+EN_STOPWORDS = [
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that",
+]
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens_col(text)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens_col(text)
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id(text: Column, en_threshold: float = 0.05) -> Column:
+    """n-gram-free heuristic: English iff stopword ratio clears a floor AND
+    the text is dominated by ASCII letters."""
+    ascii_ratio = F.when(
+        F.length(text) > 0,
+        F.length(F.regexp_replace(text, "[^a-zA-Z0-9 .,!?;:'\"-]", "")) / F.length(text),
+    ).otherwise(F.lit(0.0))
+    return (
+        F.when((stopword_ratio(text) >= en_threshold) & (ascii_ratio >= 0.9), F.lit("en"))
+        .when(ascii_ratio >= 0.9, F.lit("latin-other"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic quality: enough tokens, sane token length, some
+    stopwords (fluent prose), bounded punctuation. Mirrors the shape of
+    Gopher/C4-style quality rules; weights are engine-defined."""
+    n = token_count(text)
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(
+        F.least(n / F.lit(10.0), F.lit(1.0))
+    )
+    tok_len = avg_token_len(text)
+    tok_ok = F.when((tok_len >= 2.0) & (tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    stop_ok = F.least(stopword_ratio(text) / F.lit(0.05), F.lit(1.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok * 0.4 + tok_ok * 0.2 + stop_ok * 0.2 + punct_ok * 0.2), 6)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-normalized,
+    lower-cased text (content addressing for exact dedup across sources)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def rolling_hash(text: Column, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash over tokens (order-sensitive fingerprint):
+    h = Σ h*base + xxhash64(token) (mod 2^61−1), folded natively."""
+    toks = tokens_col(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: (acc * base + F.abs(F.xxhash64(t)).cast("decimal(38,0)")) % F.lit(mod).cast("decimal(38,0)"),
+        lambda acc: acc.cast("long"),
+    )

@@ -1,0 +1,306 @@
+"""Deduplication operators for large-scale corpora (driver-mandated
+training-data extensions; the reference's analogues are the id-keyed dict
+dedup and URL-identity bookmark merge, SURVEY.md A5/A8/G3).
+
+All operators take (df, id_col, text_col) and are built on native
+expressions where possible:
+
+  exact_dedup          — hash-groupBy, one shuffle on md5(text)
+  ngram_jaccard_pairs  — shingle inverted index self-join (exact Jaccard)
+  minhash_lsh_pairs    — Spark ML MinHashLSH banding (approximate, the
+                         scale path: candidates only, never O(n²))
+  simhash / simhash_pairs — 48-bit simhash, banded candidate join +
+                         Hamming verify, fully JVM-side
+  embedding_neardup_pairs — cosine near-dup via random-hyperplane LSH
+                         buckets + exact re-rank
+
+Scale notes: every pair generator blocks first (LSH band / shingle / salt
+bucket) so the self-join key is never the full corpus; exact verification
+runs only on candidates. At 100 TB the banding parameters are the knobs —
+they bound both recall and the hottest bucket's size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knowledge_nexus_spark.functions.embed import cosine_col
+
+# --- exact ---------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative per exact text hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(F.col(id_col)).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# --- token shingles --------------------------------------------------------
+
+
+def _token_shingles(text_col: str, n: int):
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold via a shingle inverted index:
+    explode distinct shingles → self-join on shingle → |A∩B| per pair →
+    J = inter / (|A| + |B| − inter). The inverted index IS the blocking:
+    pairs sharing no shingle never meet."""
+    sh = df.select(
+        F.col(id_col).alias("id"), _token_shingles(text_col, n).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    sizes = sh.select("id", "sh_size")
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sh_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sh_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_jaccard_distance: float = 0.5,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Approximate Jaccard near-dup pairs: shingle → MinHash band → bucket
+    join (Spark ML). Returns (id_a, id_b, jaccard_dist ≤ max)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    feat = df.select(
+        F.col(id_col).alias("id"), _token_shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    v = tf.transform(feat)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(v)
+    pairs = model.approxSimilarityJoin(v, v, max_jaccard_distance, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            "jaccard_dist",
+        )
+    )
+
+
+# --- simhash ---------------------------------------------------------------
+
+SIMHASH_BITS = 48  # keep the value positive in a signed 64-bit long
+
+
+def add_simhash(df: DataFrame, text_col: str, out_col: str = "sig", bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash, all native: per-token xxhash64 → per-bit ±1 votes folded
+    with one array aggregate (bit shifts unrolled as literal ints) →
+    sign bits packed into a LONG. Two selects so the vote vector is
+    materialized once, not re-evaluated per bit."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(bits)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
+    with_votes = df.withColumn("_votes", votes)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(F.col("_votes"), b + 1) > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return with_votes.withColumn(out_col, sig).drop("_votes")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by simhash: band the signature (any pair within
+    Hamming k must share ≥1 of k+1 bands), join per band, verify with
+    bit_count(a XOR b) ≤ k. All JVM-side."""
+    band_bits = bits // bands
+    sig = add_simhash(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col, "sig", bits
+    ).select("id", "sig")
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("sig"), i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- embedding near-dup ------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure function of seed)."""
+    import hashlib
+    import struct
+
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(0, dim, 4):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            vals.extend(struct.unpack("<4f", h[:16]))
+        v = vals[:dim]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def hyperplane_signature(vec_col, dim: int, n_planes: int = 16, seed: int = 42):
+    """n_planes sign bits of random-hyperplane projections → LONG bucket key."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    min_cosine: float = 0.95,
+    bands: int = 4,
+    band_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup pairs: multiple independent hyperplane-signature
+    bands block candidates; exact native cosine verifies. Recall grows with
+    ``bands``; bucket sizes shrink with ``band_planes``."""
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    banded = keyed.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    hyperplane_signature(F.col("vec"), dim, band_planes, seed + i).alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_neardup_pairs_exact(
+    df: DataFrame, id_col: str, vec_col: str, min_cosine: float = 0.95
+) -> DataFrame:
+    """Brute-force O(n²) variant — the correctness baseline for tests and
+    the oracle; never the scale path."""
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", cosine_col(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )

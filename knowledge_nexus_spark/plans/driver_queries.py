@@ -1,0 +1,556 @@
+"""Driver-contract query suite: every operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL string.
+
+Float-determinism protocol (the driver value-hashes results):
+  - money/metric sums go through DECIMAL casts (exact, order-independent)
+    and only then to DOUBLE — a plain double sum differs across engines by
+    summation order;
+  - cosine scores are rounded to 4dp (both engines widen float32 inputs
+    and fold in array order, so they agree well past 4dp);
+  - every top-k has a full deterministic ORDER BY tie-break.
+
+Column names are aliased identically in the Spark plan and the SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from knowledge_nexus_spark.functions import textstats as ts
+from knowledge_nexus_spark.functions.embed import cosine_col
+from knowledge_nexus_spark.operators import dedup as dd
+from knowledge_nexus_spark.operators.similarity import lsh_topk
+from knowledge_nexus_spark.pipeline import PipelineConfig, build_graph
+from knowledge_nexus_spark.sources.flat_text import flat_docs_to_span_docs
+
+GAZETTEER = ["spark", "table", "join", "query", "merge", "stream"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, p=18, s=4):
+    return col.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------- KG ops ---
+
+def q_kg_pipeline_triples(spark, sf_dir):
+    """The KG pipeline end-to-end over the flat-text connector: extract →
+    orphan clean → MERGE-distinct. Oracle reproduces the deterministic
+    link rules in SQL."""
+    flat = _t(spark, sf_dir, "documents")
+    docs = flat_docs_to_span_docs(flat)
+    res = build_graph(spark, docs, PipelineConfig(render_content=False))
+    return res.edges.select("subj", "pred", "obj").distinct()
+
+
+def sql_kg_pipeline_triples():
+    return """
+    WITH n AS (SELECT count(*) AS c FROM documents)
+    SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj, 'CONTAINS' AS pred,
+           CAST((doc_id*31+7) % (SELECT c FROM n) AS VARCHAR) AS obj
+    FROM documents
+    UNION
+    SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj, 'REFERENCES' AS pred,
+           CAST((doc_id*17+3) % (SELECT c FROM n) AS VARCHAR) AS obj
+    FROM documents
+    """
+
+
+def q_kg_freshness_dedup(spark, sf_dir):
+    """A5 last-writer-wins over the events stream keyed by user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def sql_kg_freshness_dedup():
+    return """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """
+
+
+def q_kg_orphan_clean(spark, sf_dir):
+    """J1 double left-semi: keep (order, part) triples whose endpoints are
+    both in the retained node sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000).select("o_orderkey")
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_size") < 30).select("p_partkey")
+    kept = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_semi")
+        .join(parts, li["l_partkey"] == parts["p_partkey"], "left_semi")
+    )
+    return kept.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_triples"))
+
+
+def sql_kg_orphan_clean():
+    return """
+    SELECT l_returnflag, count(*) AS n_triples FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 50000)
+      AND EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_size < 30)
+    GROUP BY l_returnflag
+    """
+
+
+def q_kg_missing_endpoints(spark, sf_dir):
+    """J2 anti-join: endpoints absent from the node set → Unprocessed."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
+    missing = orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_anti")
+    return missing.select(F.col("o_custkey").alias("id"), F.lit("Unprocessed").alias("title"))
+
+
+def sql_kg_missing_endpoints():
+    return """
+    SELECT DISTINCT o_custkey AS id, 'Unprocessed' AS title FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    """
+
+
+def q_kg_comention(spark, sf_dir):
+    """J8/A4 co-mention strength: part pairs sharing an order, top-10."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("e1"), F.col("b.l_partkey").alias("e2"))
+        .agg(F.count(F.lit(1)).alias("strength"))
+        .orderBy(F.col("strength").desc(), "e1", "e2")
+        .limit(10)
+    )
+
+
+def sql_kg_comention():
+    return """
+    SELECT a.l_partkey AS e1, b.l_partkey AS e2, count(*) AS strength
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 ORDER BY strength DESC, e1, e2 LIMIT 10
+    """
+
+
+def q_kg_khop2(spark, sf_dir):
+    """J6 2-hop: parts reachable from part 1 via a shared order, seed excluded."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    seed_orders = li.filter(F.col("l_partkey") == 1).select("l_orderkey").distinct()
+    return (
+        li.join(seed_orders, "l_orderkey")
+        .filter(F.col("l_partkey") != 1)
+        .select(F.col("l_partkey").alias("part_id"))
+        .distinct()
+    )
+
+
+def sql_kg_khop2():
+    return """
+    SELECT DISTINCT l2.l_partkey AS part_id
+    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_partkey = 1 AND l2.l_partkey <> 1
+    """
+
+
+def q_kg_gazetteer_mentions(spark, sf_dir):
+    """P17 mention detection (gazetteer) → distinct MENTIONS triples."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    return (
+        toks.filter(F.col("tok").isin(GAZETTEER))
+        .select("doc_id", F.lit("MENTIONS").alias("pred"), F.col("tok").alias("obj"))
+        .distinct()
+    )
+
+
+def sql_kg_gazetteer_mentions():
+    quoted = ", ".join(f"'{g}'" for g in GAZETTEER)
+    return f"""
+    SELECT DISTINCT doc_id, 'MENTIONS' AS pred, tok AS obj FROM (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents)
+    WHERE tok IN ({quoted})
+    """
+
+
+def q_kg_bookmark_nodes(spark, sf_dir):
+    """S6 deterministic web-scrape stand-in: bookmark node per source URL."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("https://example.com/"), F.col("source")).alias("url")
+    ).distinct()
+    return urls.select(
+        F.col("url").alias("id"),
+        F.concat(F.lit("Web "), F.substring(F.md5("url"), 1, 8)).alias("title"),
+        F.lit("Bookmark").alias("type"),
+    )
+
+
+def sql_kg_bookmark_nodes():
+    return """
+    SELECT url AS id, 'Web ' || substr(md5(url), 1, 8) AS title, 'Bookmark' AS type
+    FROM (SELECT DISTINCT 'https://example.com/' || source AS url FROM documents)
+    """
+
+
+# ------------------------------------------------------------ dedup family --
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "doc_id", "text")
+
+
+def sql_dedup_exact():
+    return """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """
+
+
+def q_dedup_token_jaccard(spark, sf_dir):
+    """Exact unigram-set Jaccard near-dup pairs (inverted-index blocking)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_dedup_token_jaccard():
+    return """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t FROM documents),
+    sizes AS (SELECT doc_id, len(t) AS s FROM toks),
+    inv AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b,
+           round(CAST(c AS DOUBLE) / (sa.s + sb.s - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = ia
+    JOIN sizes sb ON sb.doc_id = ib
+    WHERE CAST(c AS DOUBLE) / (sa.s + sb.s - c) >= 0.8
+    """
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Approximate MinHash-LSH near-dup pairs (rows-only driver check; the
+    pytest suite verifies it is a subset-with-recall of exact Jaccard)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, "doc_id", "text", n=1, max_jaccard_distance=0.2).select(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only; xxhash64 has no DuckDB analogue)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (native cosine, cross-verify)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_neardup_pairs_exact(emb, "vec_id", "embedding", min_cosine=0.3)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def sql_dedup_embedding():
+    return """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """
+
+
+# ------------------------------------------------------- similarity search --
+
+def q_ann_topk(spark, sf_dir):
+    """W2 brute-force cosine top-k vs the vec_id=0 embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    qcol = F.array(*[F.lit(x) for x in qv])
+    return (
+        emb.filter("vec_id <> 0")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine_col(F.col("embedding"), qcol), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(10)
+    )
+
+
+def sql_ann_topk():
+    return """
+    SELECT b.vec_id AS id,
+           round(CAST(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) AS score
+    FROM embeddings b WHERE b.vec_id <> 0
+    ORDER BY score DESC, id LIMIT 10
+    """
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only: bucketing is engine-defined; pytest
+    checks recall vs brute force)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return lsh_topk(emb.filter("vec_id <> 0"), "vec_id", "embedding", qv, k=10, dim=len(qv))
+
+
+# ------------------------------------------------------------ text analysis --
+
+def q_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("n_tokens"),
+        F.round(ts.avg_token_len(F.col("text")), 6).alias("avg_tok_len"),
+        ts.doc_fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def sql_text_stats():
+    return r"""
+    SELECT doc_id,
+           len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+           round(CAST(list_sum(list_transform(string_split(lower(trim(text)), ' '),
+                 t -> len(t))) AS DOUBLE)
+                 / len(string_split(lower(trim(text)), ' ')), 6) AS avg_tok_len,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """
+
+
+def q_text_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = ts.tokens_col(F.col("text"))
+    stop = F.array(*[F.lit(w) for w in ts.EN_STOPWORDS])
+    return docs.select(
+        "doc_id",
+        ts.lang_id(F.col("text")).alias("lang_pred"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("n_stop"),
+    )
+
+
+def sql_text_lang():
+    quoted = ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^a-zA-Z0-9 .,!?;:''"-]', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS ascii_ratio
+      FROM documents),
+    scored AS (
+      SELECT doc_id, ascii_ratio, toks,
+             len(list_filter(toks, t -> list_contains([{quoted}], t))) AS n_stop,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> list_contains([{quoted}], t))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS stop_ratio
+      FROM base)
+    SELECT doc_id,
+           CASE WHEN stop_ratio >= 0.05 AND ascii_ratio >= 0.9 THEN 'en'
+                WHEN ascii_ratio >= 0.9 THEN 'latin-other'
+                ELSE 'unknown' END AS lang_pred,
+           n_stop
+    FROM scored
+    """
+
+
+# ----------------------------------------------------------------- TPC-H ----
+
+def q_tpch_q1(spark, sf_dir):
+    """Pricing summary — money sums via DECIMAL for cross-engine exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount")))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def sql_tpch_q1():
+    return """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_tpch_top_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount")))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def sql_tpch_top_orders():
+    return """
+    SELECT l_orderkey,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+    FROM lineitem GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """
+
+
+def q_tpch_region_revenue(spark, sf_dir):
+    """Star join: dims are broadcast (explicit hint — they are tiny)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+    )
+
+
+def sql_tpch_region_revenue():
+    return """
+    SELECT r_name,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """
+
+
+# ----------------------------------------------------------------- events ---
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1h window counts+sums per event type (batch form of the
+    streaming windowed aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sql_events_windowed():
+    return """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap starts a new session."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(F.sum("new_session").alias("n_sessions"))
+
+
+def sql_events_sessionize():
+    return """
+    SELECT user_id, sum(new_session) AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events) GROUP BY user_id
+    """
+
+
+# ----------------------------------------------------------------- registry --
+
+QUERIES = {
+    "kg_pipeline_triples": q_kg_pipeline_triples,
+    "kg_freshness_dedup": q_kg_freshness_dedup,
+    "kg_orphan_clean": q_kg_orphan_clean,
+    "kg_missing_endpoints": q_kg_missing_endpoints,
+    "kg_comention": q_kg_comention,
+    "kg_khop2": q_kg_khop2,
+    "kg_gazetteer_mentions": q_kg_gazetteer_mentions,
+    "kg_bookmark_nodes": q_kg_bookmark_nodes,
+    "dedup_exact": q_dedup_exact,
+    "dedup_token_jaccard": q_dedup_token_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "text_stats": q_text_stats,
+    "text_lang": q_text_lang,
+    "tpch_q1": q_tpch_q1,
+    "tpch_top_orders": q_tpch_top_orders,
+    "tpch_region_revenue": q_tpch_region_revenue,
+    "events_windowed": q_events_windowed,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLE_SQL = {
+    "kg_pipeline_triples": sql_kg_pipeline_triples(),
+    "kg_freshness_dedup": sql_kg_freshness_dedup(),
+    "kg_orphan_clean": sql_kg_orphan_clean(),
+    "kg_missing_endpoints": sql_kg_missing_endpoints(),
+    "kg_comention": sql_kg_comention(),
+    "kg_khop2": sql_kg_khop2(),
+    "kg_gazetteer_mentions": sql_kg_gazetteer_mentions(),
+    "kg_bookmark_nodes": sql_kg_bookmark_nodes(),
+    "dedup_exact": sql_dedup_exact(),
+    "dedup_token_jaccard": sql_dedup_token_jaccard(),
+    # dedup_minhash_lsh, dedup_simhash, ann_lsh: approximate/engine-defined →
+    # rows-only driver check; recall verified against exact variants in pytest
+    "dedup_embedding": sql_dedup_embedding(),
+    "ann_topk": sql_ann_topk(),
+    "text_stats": sql_text_stats(),
+    "text_lang": sql_text_lang(),
+    "tpch_q1": sql_tpch_q1(),
+    "tpch_top_orders": sql_tpch_top_orders(),
+    "tpch_region_revenue": sql_tpch_region_revenue(),
+    "events_windowed": sql_events_windowed(),
+    "events_sessionize": sql_events_sessionize(),
+}

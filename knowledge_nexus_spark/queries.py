@@ -1,0 +1,139 @@
+"""Query-side operators: vector top-k retrieval + k-hop graph expansion.
+
+Rebuilds the reference's retrieval pipeline (SURVEY.md §2.7):
+  - W2: cosine top-k seed chunks  (neo4j_manager.py:21,88 vector index call)
+  - J5/J6: 1-/2-hop neighbor expansion with per-hop similarity thresholds
+    0.5 / 0.75 (neo4j_manager.py:17-19,30-54)
+  - J7: 0..2-hop path expansion with hop distance (neo4j_manager.py:92-121)
+  - A8/W3/J9: dedup by id, similarity sort + top-k, edge pruning to the
+    retained node set (query_controller.py:80-84)
+
+All composed DataFrame ops: the cosine is the native zip_with/aggregate
+expression (no Python in the hot path); edges are traversed undirected by
+unioning both orientations, k-hop = k iterated joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from knowledge_nexus_spark.functions.embed import cosine_col, embed_text_py
+
+
+def chunk_similarity(chunks: DataFrame, query_vec: list[float]) -> DataFrame:
+    """chunks + score column: cosine(embedding, query). Native expression."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return chunks.withColumn("score", cosine_col(F.col("embedding"), qcol))
+
+
+def topk_chunks(chunks: DataFrame, query_vec: list[float], k: int = 5) -> DataFrame:
+    """W2 brute-force top-k: Spark plans orderBy+limit as TakeOrdered
+    (per-partition heap + driver merge) — no full sort, scales linearly."""
+    return (
+        chunk_similarity(chunks, query_vec)
+        .select("page_id", "sequence", "content", "score")
+        .orderBy(F.col("score").desc(), F.col("page_id"), F.col("sequence"))
+        .limit(k)
+    )
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("subj").alias("a"), F.col("pred"), F.col("obj").alias("b"))
+    rev = edges.select(F.col("obj").alias("a"), F.col("pred"), F.col("subj").alias("b"))
+    return fwd.unionByName(rev)
+
+
+def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
+    """(id, hop) for every node within k undirected hops of seeds; hop =
+    min distance (J7 path expansion). Iterative frontier join with a
+    left-anti visited check — the loop is driver-side, each round one
+    shuffle, bounded by k (the reference caps at 2)."""
+    und = undirected(edges).select("a", "b").distinct()
+    visited = seeds.select(F.col("id")).distinct().withColumn("hop", F.lit(0))
+    frontier = visited.select("id")
+    for depth in range(1, k + 1):
+        nxt = (
+            und.join(frontier, und["a"] == frontier["id"], "inner")
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hop", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("id")
+    return visited
+
+
+def page_best_similarity(chunks: DataFrame, query_vec: list[float]) -> DataFrame:
+    """Per-page best chunk cosine (the reference scores a neighbor by its
+    chunks' similarity, neo4j_manager.py:34-38)."""
+    return (
+        chunk_similarity(chunks, query_vec)
+        .groupBy(F.col("page_id").alias("id"))
+        .agg(F.max("score").alias("similarity"))
+    )
+
+
+def retrieve(
+    nodes: DataFrame,
+    edges: DataFrame,
+    chunks: DataFrame,
+    query_text: str,
+    top_k: int = 5,
+    hop1_threshold: float = 0.5,
+    hop2_threshold: float = 0.75,
+    dim: int = 64,
+) -> dict:
+    """The flagship read query (Q3): seeds → expansion → prune → context.
+
+    Returns {"nodes": DataFrame, "edges": DataFrame} like the reference's
+    visualization payload (query_controller.py:67-95)."""
+    qvec = embed_text_py(query_text, dim)
+
+    seeds = topk_chunks(chunks, qvec, top_k).select(F.col("page_id").alias("id")).distinct()
+    hops = k_hop(edges.filter(F.col("pred") != "HAS_CHUNK"), seeds, k=2)
+
+    sims = page_best_similarity(chunks, qvec)
+    scored = (
+        hops.join(sims, "id", "left")
+        .withColumn("similarity", F.coalesce(F.col("similarity"), F.lit(0.0)))
+        .filter(
+            (F.col("hop") == 0)
+            | ((F.col("hop") == 1) & (F.col("similarity") > hop1_threshold))
+            | ((F.col("hop") == 2) & (F.col("similarity") > hop2_threshold))
+        )
+    )
+
+    top_nodes = (
+        scored.join(nodes, "id")
+        .dropDuplicates(["id"])  # A8
+        .orderBy(F.col("similarity").desc(), F.col("id"))  # W3
+        .limit(max(top_k * 4, top_k))
+        .select("id", "title", "type", "similarity", "hop", "content")
+    )
+
+    ids = top_nodes.select("id")
+    kept_edges = (
+        edges.join(ids, edges["subj"] == ids["id"], "left_semi")
+        .join(ids, edges["obj"] == ids["id"], "left_semi")  # J9
+    )
+    return {"nodes": top_nodes, "edges": kept_edges}
+
+
+def comention_strength(edges: DataFrame, top_n: int = 10) -> DataFrame:
+    """A4/J8: entity pairs sharing a subject, counted, top-N — the
+    2-step MENTIONS strength query (neo4j_manager.py:257-268)."""
+    m = edges.select("subj", "obj")
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(b, F.col("a.subj") == F.col("b.subj"))
+        .filter(F.col("a.obj") < F.col("b.obj"))
+        .groupBy(F.col("a.obj").alias("e1"), F.col("b.obj").alias("e2"))
+        .agg(F.count(F.lit(1)).alias("strength"))
+        .orderBy(F.col("strength").desc(), "e1", "e2")
+        .limit(top_n)
+    )
