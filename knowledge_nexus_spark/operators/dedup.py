@@ -290,17 +290,42 @@ def embedding_neardup_pairs(
     )
 
 
+def normalized_vec(vec_col):
+    """L2-normalize once per ROW so pair scoring is a single dot product —
+    array higher-order functions run interpreted (outside codegen), so
+    evaluating 3 of them per PAIR dominates a pairwise plan."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.when(
+        norm > 0, F.transform(vec_col, lambda x: x.cast("double") / norm)
+    ).otherwise(F.transform(vec_col, lambda x: x.cast("double") * 0.0))
+
+
+def dot_only(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def embedding_neardup_pairs_exact(
     df: DataFrame, id_col: str, vec_col: str, min_cosine: float = 0.95
 ) -> DataFrame:
     """Brute-force O(n²) variant — the correctness baseline for tests and
-    the oracle; never the scale path."""
-    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    the oracle; never the scale path. Vectors are pre-normalized per row
+    (cosine == dot), halving-plus the per-pair interpreted work."""
+    keyed = df.select(
+        F.col(id_col).alias("id"), normalized_vec(F.col(vec_col)).alias("vec")
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.crossJoin(b)
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", cosine_col(F.col("a.vec"), F.col("b.vec")))
+        .withColumn("cosine", dot_only(F.col("a.vec"), F.col("b.vec")))
         .filter(F.col("cosine") >= min_cosine)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )

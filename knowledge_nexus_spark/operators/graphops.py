@@ -22,13 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def freshness_dedup(documents: DataFrame) -> DataFrame:
-    """Keep the newest version per doc_id (strictly-newer-wins).
-
-    last_edited_time is an ISO-8601 string with fixed format, so the
-    string sort order equals the timestamp order at equal format — we
-    still parse to timestamp for correctness with heterogeneous inputs.
-    Deterministic tie-break on the raw string."""
+def _freshness_window(documents: DataFrame) -> DataFrame:
     w = (
         Window.partitionBy("doc_id")
         .orderBy(
@@ -43,6 +37,33 @@ def freshness_dedup(documents: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def freshness_dedup(documents: DataFrame, few_dups: bool = False) -> DataFrame:
+    """Keep the newest version per doc_id (strictly-newer-wins,
+    notion_provider.py:315-319). Deterministic tie-break on the raw string.
+
+    Default: one window over doc_id — a single shuffle of the wide rows.
+
+    ``few_dups=True`` trades that wide shuffle for extra SCANS: a narrow
+    groupBy finds the duplicated doc_ids (small when re-edits are rare),
+    the set is broadcast, the un-duplicated majority passes through with
+    no shuffle, and only the duplicated sliver is window-deduped. Measured
+    tradeoff: in local mode / fast storage the single-shuffle window wins
+    (scans dominate); on a cluster reading object storage where shuffle
+    disks/network are the bottleneck, the broadcast path avoids moving the
+    span payloads entirely and wins at wide-row corpora."""
+    if not few_dups:
+        return _freshness_window(documents)
+    dup_ids = (
+        documents.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("doc_id")
+    )
+    singles = documents.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+    dups = documents.join(F.broadcast(dup_ids), "doc_id", "left_semi")
+    return singles.unionByName(_freshness_window(dups))
 
 
 def page_nodes(

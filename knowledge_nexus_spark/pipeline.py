@@ -20,7 +20,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from knowledge_nexus_spark.functions.extract import bookmark_nodes, extract_triples
+from knowledge_nexus_spark.functions.extract import (
+    bookmark_nodes,
+    extract_triples,
+    extract_triples_native,
+)
 from knowledge_nexus_spark.functions.render import render_spans
 from knowledge_nexus_spark.operators.graphops import (
     add_missing_nodes,
@@ -38,6 +42,7 @@ class PipelineConfig:
     add_removed: bool = False  # config.yaml:17 add_removed_page_nodes
     create_unprocessed: bool = False  # config.yaml:18 create_unprocessed_graph_nodes
     render_content: bool = True
+    native_extract: bool = True  # JVM codegen extraction (pandas variant is the spec)
     embedding_dim: int = 64
     chunk_size: int = 200  # token budget (config.yaml:50 max_tokens, scaled down)
     chunk_overlap: int = 20  # config.yaml:51 overlap, scaled proportionally
@@ -56,10 +61,17 @@ class GraphResult:
 
 
 def build_graph(
-    spark: SparkSession, documents: DataFrame, cfg: PipelineConfig | None = None
+    spark: SparkSession,
+    documents: DataFrame,
+    cfg: PipelineConfig | None = None,
+    persist_triples: bool = True,
 ) -> GraphResult:
-    """documents(spans) → (nodes, edges). Pure transformations, no actions —
-    callers decide where to checkpoint/materialize."""
+    """documents(spans) → (nodes, edges).
+
+    ``persist_triples`` caches the raw triple extraction: both the bookmark
+    nodes and the edge set consume it, and without reuse the (Python UDF)
+    extraction would execute 2-3× inside one job tree. In the checkpointed
+    ``run_pipeline`` the stage snapshot plays this role instead."""
     cfg = cfg or PipelineConfig()
 
     docs = freshness_dedup(documents)
@@ -84,7 +96,12 @@ def build_graph(
             )
         )
 
-    triples_raw = extract_triples(processed)
+    extract = extract_triples_native if cfg.native_extract else extract_triples
+    triples_raw = extract(processed)
+    if persist_triples:
+        from pyspark.storagelevel import StorageLevel
+
+        triples_raw = triples_raw.persist(StorageLevel.MEMORY_AND_DISK)
     all_nodes = nodes.unionByName(bookmark_nodes(triples_raw))
 
     if cfg.create_unprocessed:
@@ -116,7 +133,8 @@ def run_pipeline(
     docs = ck.load_or_compute("s1_documents", lambda: freshness_dedup(documents))
 
     processed = content_docs(docs)
-    triples_raw = ck.load_or_compute("s2_triples_raw", lambda: extract_triples(processed))
+    extract = extract_triples_native if cfg.native_extract else extract_triples
+    triples_raw = ck.load_or_compute("s2_triples_raw", lambda: extract(processed))
 
     def _nodes():
         nodes = page_nodes(docs, cfg.add_archived, cfg.add_removed)

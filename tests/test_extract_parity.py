@@ -93,6 +93,19 @@ def test_span_sequence_invariant(spark):
         assert got == want, did
 
 
+def test_native_extraction_equals_pandas_extraction(spark):
+    """The JVM-codegen extractor and the Arrow/pandas extractor are two
+    implementations of the same rules — their outputs must be identical
+    including context strings."""
+    from knowledge_nexus_spark.functions.extract import extract_triples, extract_triples_native
+    from knowledge_nexus_spark.operators.graphops import content_docs, freshness_dedup
+
+    docs = content_docs(freshness_dedup(_spark_docs(spark)))
+    py = set(map(tuple, extract_triples(docs).collect()))
+    nat = set(map(tuple, extract_triples_native(docs).collect()))
+    assert py == nat
+
+
 def test_archived_docs_contribute_no_triples(spark):
     local = generate_documents_local(CFG)
     archived_ids = {r["doc_id"] for r in local if r["archived"] or r["in_trash"]}
