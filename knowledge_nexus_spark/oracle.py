@@ -59,6 +59,9 @@ class OracleConfig:
     add_archived: bool = False
     add_removed: bool = False
     create_unprocessed: bool = False
+    root_id: str | None = None  # root-scoped traversal (the reference's main mode)
+    max_depth: int = 200  # BFS hop cap (stands in for page_max_depth)
+    follow_references: bool = True  # recursive_process_reference_pages
 
 
 @dataclass
@@ -123,10 +126,18 @@ def run_oracle(corpus_rows: list[dict], cfg: OracleConfig | None = None) -> Orac
             "last_edited_time": None,
         }
 
-    # ---- per-document walk (corpus-scan mode, notion_provider.py:93-102;
-    # archived/in-trash gates from the discovery path :394-412 applied
-    # uniformly so the result is traversal-order independent) -----------
-    for did, row in latest.items():
+    # ---- document selection: corpus scan (notion_provider.py:93-102) or
+    # root-scoped BFS (the reference's recursive traversal :124-164,
+    # REFERENCES recursion gated by config :170-171, depth cap :130-135) --
+    if cfg.root_id is not None:
+        selected = _bfs_reachable(latest, cfg)
+    else:
+        selected = list(latest.keys())
+
+    # ---- per-document walk (archived/in-trash gates from the discovery
+    # path :394-412 applied uniformly → traversal-order independent) -----
+    for did in selected:
+        row = latest[did]
         if row["archived"] and not cfg.add_archived:
             continue
         if row["in_trash"] and not cfg.add_removed:
@@ -186,6 +197,51 @@ def run_oracle(corpus_rows: list[dict], cfg: OracleConfig | None = None) -> Orac
             r for r in res.relations if r[0] in res.pages and r[2] in res.pages
         ]
     return res
+
+
+def _link_targets(row: dict, follow_references: bool) -> set:
+    """Normalized corpus-candidate targets a doc's content links to —
+    the discovery edge set for root-scoped BFS."""
+    out = set()
+    if row["archived"] or row["in_trash"]:
+        return out  # content never processed → nothing discovered
+    for s in row["spans"] or []:
+        kind, text, ref = s["kind"], s.get("text") or "", s.get("media_ref")
+        if kind in ("child_page", "child_database") and ref:
+            out.add(_norm(ref))
+        elif not follow_references:
+            continue
+        elif kind == "link_to_page" and ref:
+            out.add(_norm(ref))
+        elif kind == "prop_relation" and ref:
+            out.add(_norm(ref))
+        elif kind in RICH or kind in ("prop_rich_text", "prop_title"):
+            for m in _LINK.finditer(text):
+                uid = _uuid_of(m.group("href"))
+                if uid:
+                    out.add(uid)
+    return out
+
+
+def _bfs_reachable(latest: dict, cfg: OracleConfig) -> list:
+    root = _norm(cfg.root_id)
+    if root not in latest:
+        return []
+    visited = {root}
+    frontier = [root]
+    order = [root]
+    for _depth in range(cfg.max_depth):
+        nxt = []
+        for did in frontier:
+            for tgt in sorted(_link_targets(latest[did], cfg.follow_references)):
+                if tgt in latest and tgt not in visited:
+                    visited.add(tgt)
+                    nxt.append(tgt)
+        if not nxt:
+            break
+        order.extend(nxt)
+        frontier = nxt
+    return order
 
 
 def _unprocessed(page_id: str, source: str) -> dict:
