@@ -46,7 +46,9 @@ def _materialize(df) -> int:
 
 
 def bench_corpus_path(n_docs: int, seed: int) -> str:
-    return f"/tmp/knx_bench_corpus_n{n_docs}_s{seed}"
+    from knowledge_nexus_spark.datagen import DATAGEN_VERSION
+
+    return f"/tmp/knx_bench_corpus_v{DATAGEN_VERSION}_n{n_docs}_s{seed}"
 
 
 def ensure_corpus(spark, n_docs: int, seed: int = 42) -> str:

@@ -23,7 +23,32 @@ INDENT = "  "  # config.yaml:21 markdown_parser_options.indent
 
 EXCLUDED_BLOCK_KINDS = {"breadcrumb", "column_list", "column", "table_of_contents"}
 
-PROP_KINDS = {"prop_title", "prop_rich_text", "prop_relation", "prop_url"}
+PROP_KINDS = {
+    "prop_title", "prop_rich_text", "prop_relation", "prop_url",
+    "prop_checkbox", "prop_date", "prop_email", "prop_number", "prop_select",
+    "prop_multi_select", "prop_status", "prop_people", "prop_phone_number",
+    "prop_files", "prop_formula", "prop_rollup", "prop_created_time",
+    "prop_last_edited_time",
+}
+
+# excluded property types (config.yaml:22-28): created_by, last_edited_by,
+# unique_id, verification — spans of those kinds render to nothing
+EXCLUDED_PROP_KINDS = {
+    "prop_created_by", "prop_last_edited_by", "prop_unique_id", "prop_verification",
+}
+
+
+def _format_date(value: str) -> str:
+    """ISO-8601 → 'YYYY-MM-DD HH:MM:SS', passthrough on parse failure
+    (to_markdown_parser.py:382-387)."""
+    from datetime import datetime
+
+    try:
+        return datetime.fromisoformat(value.replace("Z", "+00:00")).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+    except ValueError:
+        return value
 
 
 def _render_block(kind: str, text: str, media_ref: str, offset: int) -> str:
@@ -84,6 +109,17 @@ def _render_block(kind: str, text: str, media_ref: str, offset: int) -> str:
         return f"{indent}---\n\n"
     if kind == "equation":
         return f"{indent}$$\n{text}\n$$\n\n"
+    if kind == "synced_block":
+        if media_ref:
+            return f"{indent}[Synced Block: Original ID {media_ref}]\n\n"
+        return f"{indent}[Original Synced Block]\n\n"
+    if kind == "table":
+        # media_ref carries "width,has_col_header,has_row_header"
+        w, ch, rh = ((media_ref or "0,False,False").split(",") + ["False", "False"])[:3]
+        return f"{indent}[Table: {w} columns, Column Header: {ch}, Row Header: {rh}]\n\n"
+    if kind == "table_row":
+        cells = (text or "").split("|")
+        return f"{indent}| {' | '.join(cells)} |\n"
     if kind in EXCLUDED_BLOCK_KINDS:
         return ""
     return ""  # unsupported kinds render empty (to_markdown_parser.py:91-93)
@@ -107,6 +143,38 @@ def _render_prop(kind: str, text: str, media_ref: str) -> str | None:
         if not media_ref:
             return None
         return f"**{text or 'URL'}**: [{media_ref}]({media_ref})\n"
+    # value-typed properties: name in `text`, value in `media_ref`
+    # (templates mirror to_markdown_parser.py:95-192)
+    name = text or kind.removeprefix("prop_")
+    v = media_ref
+    if v is None or v == "":
+        return None
+    if kind == "prop_checkbox":
+        return f"**{name}**: {'✅' if v == 'true' else '❌'}\n"
+    if kind == "prop_date":
+        parts = v.split("/")
+        if len(parts) == 2:
+            return f"**{name}**: {_format_date(parts[0])} - {_format_date(parts[1])}\n"
+        return f"**{name}**: {_format_date(v)}\n"
+    if kind in ("prop_created_time", "prop_last_edited_time"):
+        return f"**{name}**: {_format_date(v)}\n"
+    if kind in ("prop_email", "prop_phone_number", "prop_number", "prop_formula"):
+        return f"**{name}**: {v}\n"
+    if kind == "prop_select":
+        return f"**{name}**: #{v}\n"
+    if kind == "prop_multi_select":
+        tags = " ".join(f"#{t}" for t in v.split(",") if t)
+        return f"**{name}**: {tags}\n"
+    if kind == "prop_status":
+        return f"**{name}**: {v}\n"
+    if kind == "prop_people":
+        return f"**{name}**: {', '.join(p for p in v.split(',') if p)}\n"
+    if kind == "prop_files":
+        links = ", ".join(f"[{u.rsplit('/', 1)[-1]}]({u})" for u in v.split(",") if u)
+        return f"**{name}**: {links}\n"
+    if kind == "prop_rollup":
+        fn, _, val = v.partition(":")
+        return f"**{name}**: {fn}: {val or 'N/A'}\n"
     return None
 
 
@@ -122,6 +190,8 @@ def render_spans_py(spans: list | None) -> str:
             line = _render_prop(kind, s.get("text"), s.get("media_ref"))
             if line:
                 props += line
+        elif kind in EXCLUDED_PROP_KINDS:
+            continue  # config.yaml:22-28 exclusions render nothing
         else:
             body += _render_block(kind, s.get("text"), s.get("media_ref"), s.get("offset") or 0)
     header = f"###Properties:\n{props}" if props else ""

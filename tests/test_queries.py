@@ -31,7 +31,7 @@ def test_topk_chunks_self_retrieval(spark, tmp_path):
 def test_k_hop_distances(spark):
     edges = spark.createDataFrame(
         [("a", "R", "b", None), ("b", "R", "c", None), ("c", "R", "d", None), ("x", "R", "y", None)],
-        ["subj", "pred", "obj", "context"],
+        "subj string, pred string, obj string, context string",
     )
     seeds = spark.createDataFrame([("a",)], ["id"])
     got = {r.id: r.hop for r in k_hop(edges, seeds, k=2).collect()}
@@ -56,7 +56,7 @@ def test_comention_strength(spark):
     edges = spark.createDataFrame(
         [("d1", "M", "a", None), ("d1", "M", "b", None), ("d2", "M", "a", None),
          ("d2", "M", "b", None), ("d3", "M", "a", None), ("d3", "M", "c", None)],
-        ["subj", "pred", "obj", "context"],
+        "subj string, pred string, obj string, context string",
     )
     rows = comention_strength(edges, top_n=5).collect()
     assert (rows[0].e1, rows[0].e2, rows[0].strength) == ("a", "b", 2)
