@@ -27,7 +27,7 @@ HEADLINE = [
     "kg_khop2",
     "kg_gazetteer_mentions",
     "dedup_exact",
-    "dedup_embedding",
+    "dedup_embedding_lsh",
     "ann_topk",
     "text_stats",
     "text_lang",

@@ -23,7 +23,9 @@ they bound both recall and the hottest bucket's size.
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -225,22 +227,62 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def hyperplane_signature(vec_col, dim: int, n_planes: int = 16, seed: int = 42):
-    """n_planes sign bits of random-hyperplane projections → LONG bucket key."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    bits = []
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+def query_band_keys(
+    query_vec: list[float], dim: int, bands: int, band_planes: int, seed: int
+) -> list[int]:
+    """Band keys of a single (driver-side) vector — must agree bit-for-bit
+    with ``band_signatures_udf``."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    keys = []
+    for i in range(bands):
+        planes = np.asarray(_hyperplanes(dim, band_planes, seed + i))
+        bits = (planes @ q) > 0
+        keys.append(int(sum(1 << j for j, b in enumerate(bits) if b)))
+    return keys
+
+
+def band_signatures_udf(dim: int, bands: int, band_planes: int, seed: int):
+    """All band keys in ONE Arrow pass: a (n, dim) @ (dim, bands*planes)
+    numpy matmul per batch replaces bands*planes interpreted array-dot
+    expressions per row (higher-order functions run outside codegen, so
+    the vectorized UDF is the faster engine here)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    planes = np.vstack(
+        [np.asarray(_hyperplanes(dim, band_planes, seed + i)) for i in range(bands)]
+    )  # (bands*band_planes, dim)
+    weights = np.array([1 << j for j in range(band_planes)], dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sigs(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in s])
+            bits = (m @ planes.T) > 0  # (n, bands*band_planes)
+            keys = [
+                [int(bits[r, i * band_planes:(i + 1) * band_planes] @ weights)
+                 for i in range(bands)]
+                for r in range(bits.shape[0])
+            ]
+            yield pd.Series(keys)
+
+    return _sigs
+
+
+def _banded(df: DataFrame, id_col: str, vec_col: str, dim: int, bands: int,
+            band_planes: int, seed: int) -> DataFrame:
+    """(id, vec, band, key) — one row per band per input row."""
+    sigs = band_signatures_udf(dim, bands, band_planes, seed)
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("_sigs", sigs(F.col("vec")))
+        .select("id", "vec", F.posexplode("_sigs").alias("band", "key"))
+    )
 
 
 def embedding_neardup_pairs(
@@ -256,20 +298,7 @@ def embedding_neardup_pairs(
     """Cosine near-dup pairs: multiple independent hyperplane-signature
     bands block candidates; exact native cosine verifies. Recall grows with
     ``bands``; bucket sizes shrink with ``band_planes``."""
-    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    banded = keyed.select(
-        "id",
-        "vec",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    hyperplane_signature(F.col("vec"), dim, band_planes, seed + i).alias("key"),
-                )
-                for i in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("id", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _banded(df, id_col, vec_col, dim, bands, band_planes, seed)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

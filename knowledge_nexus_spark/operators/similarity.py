@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from knowledge_nexus_spark.functions.embed import cosine_col
-from knowledge_nexus_spark.operators.dedup import hyperplane_signature
 
 
 def _query_lit(query_vec: list[float]):
@@ -46,28 +45,19 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """ANN: candidates = rows sharing ≥1 hyperplane-signature band with the
-    query; exact cosine re-rank on candidates only."""
-    import numpy as np
-
-    from knowledge_nexus_spark.operators.dedup import _hyperplanes
+    query; exact cosine re-rank on candidates only. One Arrow pass computes
+    all band signatures; the query's keys are literal filters, so when the
+    table is stored bucketed by signature only the matching buckets scan."""
+    from knowledge_nexus_spark.operators.dedup import _banded, query_band_keys
 
     dim = dim or len(query_vec)
-    q = np.asarray(query_vec, dtype=np.float64)
+    qkeys = query_band_keys(query_vec, dim, bands, band_planes, seed)
 
-    def sig_of_query(band_seed: int) -> int:
-        planes = np.asarray(_hyperplanes(dim, band_planes, band_seed))
-        bits = (planes @ q) > 0
-        return int(sum(1 << i for i, b in enumerate(bits) if b))
-
-    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cand = None
-    for i in range(bands):
-        c = keyed.filter(
-            hyperplane_signature(F.col("vec"), dim, band_planes, seed + i)
-            == F.lit(sig_of_query(seed + i))
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["id"])
+    banded = _banded(df, id_col, vec_col, dim, bands, band_planes, seed)
+    match = F.lit(False)
+    for i, key in enumerate(qkeys):
+        match = match | ((F.col("band") == i) & (F.col("key") == key))
+    cand = banded.filter(match).dropDuplicates(["id"])
     return (
         cand.withColumn("score", cosine_col(F.col("vec"), _query_lit(query_vec)))
         .select("id", "score")
@@ -87,20 +77,9 @@ def knn_self_join(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate k-NN per row: banded candidate join + per-id window top-k."""
-    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    banded = keyed.select(
-        "id",
-        "vec",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    hyperplane_signature(F.col("vec"), dim, band_planes, seed + i).alias("key"),
-                )
-                for i in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("id", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    from knowledge_nexus_spark.operators.dedup import _banded
+
+    banded = _banded(df, id_col, vec_col, dim, bands, band_planes, seed)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band", "key"])

@@ -276,6 +276,17 @@ def sql_dedup_embedding():
 
 # ------------------------------------------------------- similarity search --
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Hyperplane-LSH-blocked cosine near-dup — the 100 TB path: candidates
+    via signature bands, exact verify on candidates only (rows-only check;
+    pytest pins it as a subset-with-recall of the exact variant)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", 64, min_cosine=0.3, bands=6, band_planes=8
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_ann_topk(spark, sf_dir):
     """W2 brute-force cosine top-k vs the vec_id=0 embedding."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -520,6 +531,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "text_stats": q_text_stats,
