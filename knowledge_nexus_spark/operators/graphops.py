@@ -146,6 +146,28 @@ def add_missing_nodes(triples: DataFrame, nodes: DataFrame) -> DataFrame:
     return nodes.unionByName(missing)
 
 
+def merge_sources(*document_dfs: DataFrame) -> DataFrame:
+    """A1 multi-source union-merge (data_processing_pipeline.py:24-31):
+    union all providers' documents (schema-tolerant), then last-writer-wins
+    per doc_id — the set-wise form of the reference's dict.update loop
+    where a later source overwrites an earlier one only via freshness."""
+    from functools import reduce
+
+    unioned = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), document_dfs
+    )
+    return freshness_dedup(unioned)
+
+
+def group_mentions(mentions: DataFrame) -> DataFrame:
+    """A3 entity grouping (entity_extractor.py:23-28): per label, the
+    de-duplicated mention set; corpus-wide counts per (label, mention)."""
+    return mentions.groupBy("label").agg(
+        F.collect_set("mention").alias("mentions"),
+        F.countDistinct("mention").alias("n_distinct"),
+    )
+
+
 def distinct_triples(triples: DataFrame) -> DataFrame:
     """Post-MERGE edge set: the Cypher MERGE key includes the context
     payload (neo4j_manager.py:230-238), with NULL context stored as ''."""

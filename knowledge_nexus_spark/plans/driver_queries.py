@@ -465,6 +465,91 @@ def sql_tpch_region_revenue():
     """
 
 
+def q_tpch_q6(spark, sf_dir):
+    """Pure filter + global agg — the pushdown showcase: every predicate
+    reaches the parquet scan (PushedFilters), only 3 columns read."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_rev = _dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(disc_rev).cast("double"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def sql_tpch_q6():
+    return """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """
+
+
+def q_tpch_q3(spark, sf_dir):
+    """Shipping-priority style: selective dim filter → join → top-10 revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def sql_tpch_q3():
+    return """
+    SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """
+
+
+def q_kg_entity_groups(spark, sf_dir):
+    """A3 entity grouping: distinct gazetteer mention count per label bucket
+    (first letter as the label stand-in)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("mention")
+    ).filter(F.col("mention").isin(GAZETTEER))
+    return (
+        toks.withColumn("label", F.substring("mention", 1, 1))
+        .groupBy("label")
+        .agg(F.countDistinct("mention").alias("n_distinct"), F.count(F.lit(1)).alias("n_total"))
+    )
+
+
+def sql_kg_entity_groups():
+    quoted = ", ".join(f"'{g}'" for g in GAZETTEER)
+    return f"""
+    SELECT substr(mention, 1, 1) AS label,
+           count(DISTINCT mention) AS n_distinct, count(*) AS n_total
+    FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS mention FROM documents)
+    WHERE mention IN ({quoted})
+    GROUP BY 1
+    """
+
+
 # ----------------------------------------------------------------- events ---
 
 def q_events_windowed(spark, sf_dir):
@@ -537,8 +622,11 @@ QUERIES = {
     "text_stats": q_text_stats,
     "text_lang": q_text_lang,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
     "tpch_top_orders": q_tpch_top_orders,
     "tpch_region_revenue": q_tpch_region_revenue,
+    "kg_entity_groups": q_kg_entity_groups,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
 }
@@ -561,8 +649,11 @@ ORACLE_SQL = {
     "text_stats": sql_text_stats(),
     "text_lang": sql_text_lang(),
     "tpch_q1": sql_tpch_q1(),
+    "tpch_q3": sql_tpch_q3(),
+    "tpch_q6": sql_tpch_q6(),
     "tpch_top_orders": sql_tpch_top_orders(),
     "tpch_region_revenue": sql_tpch_region_revenue(),
+    "kg_entity_groups": sql_kg_entity_groups(),
     "events_windowed": sql_events_windowed(),
     "events_sessionize": sql_events_sessionize(),
 }

@@ -1,0 +1,80 @@
+"""Physical-plan shape assertions — the scale properties the engine
+promises must be visible in `.explain`: predicate pushdown to parquet,
+column pruning, broadcast dims, codegen extraction (no Python in the
+native hot path)."""
+
+from pyspark.sql import functions as F
+
+from knowledge_nexus_spark.operators.graphops import group_mentions, merge_sources
+from knowledge_nexus_spark.plans.driver_queries import (
+    q_tpch_q1,
+    q_tpch_q6,
+    q_tpch_region_revenue,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession.sparkContext._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = _plan(q_tpch_q6(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # column pruning: only the 3 needed columns reach the scan
+    read = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" in read and "l_partkey" not in read
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    plan = _plan(q_tpch_region_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims small → no wide shuffle join
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(q_tpch_q1(spark, SF))
+    # map-side combine: two HashAggregates around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_native_extraction_has_no_python(spark):
+    from knowledge_nexus_spark.datagen import CorpusConfig, generate_documents
+    from knowledge_nexus_spark.functions.extract import extract_triples_native
+
+    docs = generate_documents(spark, CorpusConfig(n_docs=10)).localCheckpoint(eager=True)
+    plan = _plan(extract_triples_native(docs))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"Python stage {marker} in the native extract plan"
+
+
+def test_merge_sources_and_group_mentions(spark):
+    a = spark.createDataFrame(
+        [("d1", "t1", "page", "", False, False, "2024-01-01T00:00:00.000001Z", None)],
+        "doc_id string, title string, doc_kind string, url string, archived boolean,"
+        " in_trash boolean, last_edited_time string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>",
+    )
+    b = spark.createDataFrame(
+        [("d1", "t1-newer", "page", "", False, False, "2024-01-02T00:00:00.000001Z", None),
+         ("d2", "t2", "page", "", False, False, "2024-01-01T00:00:00.000001Z", None)],
+        a.schema,
+    )
+    merged = merge_sources(a, b)
+    got = {r.doc_id: r.title for r in merged.collect()}
+    assert got == {"d1": "t1-newer", "d2": "t2"}
+
+    m = spark.createDataFrame(
+        [("d1", "ORG", "acme"), ("d2", "ORG", "acme"), ("d1", "ORG", "umbrella"),
+         ("d1", "LOC", "berlin")],
+        ["doc_id", "label", "mention"],
+    )
+    grouped = {r.label: (set(r.mentions), r.n_distinct) for r in group_mentions(m).collect()}
+    assert grouped["ORG"] == ({"acme", "umbrella"}, 2)
+    assert grouped["LOC"] == ({"berlin"}, 1)
