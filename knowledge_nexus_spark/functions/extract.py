@@ -132,19 +132,10 @@ def extract_triples(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "spans").mapInPandas(gen, schema=TRIPLES_SCHEMA)
 
 
-def extract_triples_native(documents: DataFrame) -> DataFrame:
-    """Fully JVM-side triple extraction — the production hot path.
-
-    Same semantics as ``extract_triples`` (the Arrow/pandas variant, kept
-    as the readable spec and cross-checked in tests), but expressed with
-    posexplode + native regexp/when expressions so the whole extraction
-    stays inside whole-stage codegen: no Python worker, no Arrow transfer.
-    At 10^12 documents this is the difference between a CPU-bound scan and
-    a serialization-bound one.
-
-    Layout: one explode to span rows, one projection computing an ARRAY of
-    candidate triples per span (rich-text spans may hold several links),
-    one final explode. Zero shuffles."""
+def span_triples_expr(kind, text, ref):
+    """ARRAY<STRUCT<pred,obj,context>> emitted by ONE span — pure native
+    CASE expression over (kind, text, media_ref) columns, shared by the
+    exploded extractor and the single-pass per-document flattened form."""
     md_link = r"\[([^\]]*)\]\(([^)]+)\)"
     href_uuid_re = (
         r"^(?:https://www\.notion\.so)?/(?:[a-zA-Z0-9-]+/)?(?:[a-zA-Z0-9-]+-)?(" + _UUID_BODY + r")"
@@ -163,85 +154,75 @@ def extract_triples_native(documents: DataFrame) -> DataFrame:
             F.lit(pred).alias("pred"), obj.alias("obj"), ctx.alias("context")
         )
 
-    s = documents.select(
-        norm(F.col("doc_id")).alias("subj"), F.explode("spans").alias("sp")
-    ).select(
-        "subj",
-        F.col("sp.kind").alias("kind"),
-        F.coalesce(F.col("sp.text"), F.lit("")).alias("text"),
-        F.col("sp.media_ref").alias("ref"),
-    )
-
     no_ctx = F.lit(None).cast("string")
-    hrefs = F.regexp_extract_all(F.col("text"), F.lit(md_link), 2)
-    plain = F.regexp_replace(F.col("text"), md_link, "$1")
+    hrefs = F.regexp_extract_all(text, F.lit(md_link), 2)
+    plain = F.regexp_replace(text, md_link, "$1")
 
     def rich_links(ctx):
         return F.transform(hrefs, lambda h: tri("REFERENCES", link_obj(h), ctx))
 
-    rich_kinds = ", ".join(f"'{k}'" for k in RICH_TEXT_KINDS)
     empty = F.array().cast(
         "array<struct<pred:string,obj:string,context:string>>"
     )
-    tri_array = (
+    return (
         F.when(
-            F.col("kind").isin("child_page", "child_database") & F.col("ref").isNotNull(),
-            F.array(tri("CONTAINS", norm(F.col("ref")), no_ctx)),
+            kind.isin("child_page", "child_database") & ref.isNotNull(),
+            F.array(tri("CONTAINS", norm(ref), no_ctx)),
         )
         .when(
-            (F.col("kind") == "link_to_page") & F.col("ref").isNotNull(),
-            F.array(tri("REFERENCES", norm(F.col("ref")), no_ctx)),
+            (kind == "link_to_page") & ref.isNotNull(),
+            F.array(tri("REFERENCES", norm(ref), no_ctx)),
         )
         .when(
-            F.col("kind").isin("bookmark", "embed", "link_preview") & F.col("ref").isNotNull(),
-            F.array(tri("REFERENCES", F.col("ref"), no_ctx)),
+            kind.isin("bookmark", "embed", "link_preview") & ref.isNotNull(),
+            F.array(tri("REFERENCES", ref, no_ctx)),
         )
-        .when(F.expr(f"kind IN ({rich_kinds})"), rich_links(plain))
+        .when(kind.isin(*RICH_TEXT_KINDS), rich_links(plain))
         .when(
-            (F.col("kind") == "prop_relation") & F.col("ref").isNotNull(),
+            (kind == "prop_relation") & ref.isNotNull(),
             F.array(
                 tri(
                     "REFERENCES",
-                    norm(F.col("ref")),
+                    norm(ref),
                     F.concat(
                         F.lit("Relation property **"),
-                        F.coalesce(F.nullif(F.col("text"), F.lit("")), F.lit("Relation")),
+                        F.coalesce(F.nullif(text, F.lit("")), F.lit("Relation")),
                         F.lit("**"),
                     ),
                 )
             ),
         )
         .when(
-            (F.col("kind") == "prop_url") & F.col("ref").isNotNull(),
+            (kind == "prop_url") & ref.isNotNull(),
             F.array(
                 tri(
                     "REFERENCES",
-                    F.col("ref"),
+                    ref,
                     F.concat(
                         F.lit("Url property **"),
-                        F.coalesce(F.nullif(F.col("text"), F.lit("")), F.lit("URL")),
+                        F.coalesce(F.nullif(text, F.lit("")), F.lit("URL")),
                         F.lit("**"),
                     ),
                 )
             ),
         )
         .when(
-            F.col("kind") == "prop_rich_text",
+            kind == "prop_rich_text",
             rich_links(
                 F.concat(
                     F.lit("Text property **"),
-                    F.coalesce(F.col("ref"), F.lit("Name")),
+                    F.coalesce(ref, F.lit("Name")),
                     F.lit("**:\n"),
                     plain,
                 )
             ),
         )
         .when(
-            F.col("kind") == "prop_title",
+            kind == "prop_title",
             rich_links(
                 F.concat(
                     F.lit("Title property **"),
-                    F.coalesce(F.col("ref"), F.lit("Name")),
+                    F.coalesce(ref, F.lit("Name")),
                     F.lit("**:\n"),
                     plain,
                 )
@@ -250,6 +231,46 @@ def extract_triples_native(documents: DataFrame) -> DataFrame:
         .otherwise(empty)
     )
 
+
+def doc_triples_expr(spans_col):
+    """All triples of a document as one flattened array — the single-pass
+    form: no span explode, usable inside the same projection that renders
+    content, so the wide spans column is scanned exactly once."""
+    return F.flatten(
+        F.transform(
+            spans_col,
+            lambda s: span_triples_expr(
+                s["kind"], F.coalesce(s["text"], F.lit("")), s["media_ref"]
+            ),
+        )
+    )
+
+
+def normalize_uuid_col(c):
+    dashed = r"^\w{8}-\w{4}-\w{4}-\w{4}-\w{12}$"
+    return F.when(c.rlike(dashed), F.regexp_replace(c, "-", "")).otherwise(c)
+
+
+def extract_triples_native(documents: DataFrame) -> DataFrame:
+    """Fully JVM-side triple extraction — the production hot path.
+
+    Same semantics as ``extract_triples`` (the Arrow/pandas variant, kept
+    as the readable spec and cross-checked in tests), but expressed with
+    posexplode + native regexp/when expressions so the whole extraction
+    stays inside whole-stage codegen: no Python worker, no Arrow transfer.
+
+    Layout: one explode to span rows, one projection computing an ARRAY of
+    candidate triples per span (rich-text spans may hold several links),
+    one final explode. Zero shuffles."""
+    s = documents.select(
+        normalize_uuid_col(F.col("doc_id")).alias("subj"), F.explode("spans").alias("sp")
+    ).select(
+        "subj",
+        F.col("sp.kind").alias("kind"),
+        F.coalesce(F.col("sp.text"), F.lit("")).alias("text"),
+        F.col("sp.media_ref").alias("ref"),
+    )
+    tri_array = span_triples_expr(F.col("kind"), F.col("text"), F.col("ref"))
     return (
         s.select("subj", F.explode(tri_array).alias("t"))
         .select("subj", "t.pred", "t.obj", "t.context")

@@ -43,6 +43,14 @@ def normalize_uuid(col: Column) -> Column:
     return F.when(col.rlike(DASHED_UUID_PATTERN), F.regexp_replace(col, "-", "")).otherwise(col)
 
 
+def title_coalesce(title: Column, spans: Column) -> Column:
+    """P3 title extraction: page-level title, else the first title-typed
+    property's text, else 'Untitled' (notion_provider.py:40-48)."""
+    prop_title = F.filter(spans, lambda s: s["kind"] == F.lit("prop_title"))
+    first_prop = F.when(F.size(prop_title) > 0, prop_title[0]["text"])
+    return F.coalesce(F.nullif(title, F.lit("")), F.nullif(first_prop, F.lit("")), F.lit("Untitled"))
+
+
 def markdown_plain_text(col: Column) -> Column:
     """Markdown links -> their anchor text (rich-text plain_text concat,
     notion_provider.py:51-52)."""

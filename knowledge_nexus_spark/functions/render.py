@@ -202,3 +202,191 @@ def render_spans_py(spans: list | None) -> str:
 def render_spans(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for spans_series in it:
         yield spans_series.map(render_spans_py)
+
+
+def render_spans_native(spans_col):
+    """The same render as ONE native expression: two JVM `aggregate` folds
+    over the span array (properties first, then blocks, like
+    notion_provider.py:152-162's ordering) — no Python worker, no Arrow
+    transfer. Kept in exact parity with ``render_spans_py`` by test.
+
+    Per-kind templates are a CASE expression; the fold preserves span
+    order by construction."""
+
+    def txt(s):
+        return F.coalesce(s["text"], F.lit(""))
+
+    def ref(s):
+        return s["media_ref"]
+
+    def ind(s):
+        return F.repeat(F.lit(INDENT), F.coalesce(s["offset"], F.lit(0)))
+
+    def block_md(s):
+        k = s["kind"]
+        cap_sfx = F.when(txt(s) != "", F.concat(F.lit(" - "), txt(s))).otherwise(F.lit(""))
+        return (
+            F.when(k == "paragraph", F.concat(ind(s), txt(s), F.lit("\n\n")))
+            .when(
+                k.isin("heading_1", "heading_2", "heading_3"),
+                F.concat(ind(s), F.repeat(F.lit("#"), F.substring(k, -1, 1).cast("int")),
+                         F.lit(" "), txt(s), F.lit("\n\n")),
+            )
+            .when(k == "bulleted_list_item", F.concat(ind(s), F.lit("- "), txt(s), F.lit("\n")))
+            .when(k == "numbered_list_item", F.concat(ind(s), F.lit("1. "), txt(s), F.lit("\n")))
+            .when(
+                k == "to_do",
+                F.concat(ind(s), F.lit("- ["),
+                         F.when(ref(s) == "checked", F.lit("x")).otherwise(F.lit(" ")),
+                         F.lit("] "), txt(s), F.lit("\n")),
+            )
+            .when(
+                k == "toggle",
+                F.concat(ind(s), F.lit("<details>\n"), ind(s), F.lit("<summary>"), txt(s),
+                         F.lit("</summary>\n"), ind(s), F.lit("<details>\n\n")),
+            )
+            .when(
+                k == "code",
+                F.concat(ind(s), F.lit("```"), F.coalesce(ref(s), F.lit("")), F.lit("\n"),
+                         txt(s), F.lit("\n"), ind(s), F.lit("```\n\n")),
+            )
+            .when(k == "quote", F.concat(ind(s), F.lit("> "), txt(s), F.lit("\n\n")))
+            .when(
+                k == "callout",
+                F.concat(ind(s), F.lit(">"),
+                         F.when(ref(s).isNotNull() & (ref(s) != ""),
+                                F.concat(F.lit(" :"), ref(s), F.lit(":"))).otherwise(F.lit("")),
+                         F.lit(" "), txt(s), F.lit("\n\n")),
+            )
+            .when(k == "template", F.concat(ind(s), F.lit("[Template: "), txt(s), F.lit("]\n\n")))
+            .when(k == "child_database", F.concat(ind(s), F.lit("Child database: "), txt(s), F.lit("\n\n")))
+            .when(k == "child_page", F.concat(ind(s), F.lit("Child page: "), txt(s), F.lit("\n\n")))
+            .when(
+                k == "bookmark",
+                F.concat(ind(s), F.lit("["),
+                         F.when(txt(s) != "", txt(s)).otherwise(F.lit("Bookmark")),
+                         F.lit("]("), F.coalesce(ref(s), F.lit("")), F.lit(")\n\n")),
+            )
+            .when(k == "embed", F.concat(ind(s), F.lit("[Embed: "), F.coalesce(ref(s), F.lit("")), F.lit("]\n\n")))
+            .when(k == "link_preview",
+                  F.concat(ind(s), F.lit("[Link Preview: "), F.coalesce(ref(s), F.lit("")), F.lit("]\n\n")))
+            .when(
+                k == "link_to_page",
+                F.concat(ind(s), F.lit("[Link to page: "),
+                         F.regexp_replace(F.coalesce(ref(s), F.lit("")), "-", ""), F.lit("]\n\n")),
+            )
+            .when(k == "image", F.concat(ind(s), F.lit("!["), txt(s), F.lit("]("),
+                                         F.coalesce(ref(s), F.lit("")), F.lit(")\n\n")))
+            .when(k == "video", F.concat(ind(s), F.lit("[Video: "), F.coalesce(ref(s), F.lit("")),
+                                         cap_sfx, F.lit("]\n\n")))
+            .when(
+                k == "file",
+                F.concat(ind(s), F.lit("[File: ["),
+                         F.when(txt(s) != "", txt(s)).otherwise(F.lit("File")),
+                         F.lit("]("), F.coalesce(ref(s), F.lit("")), F.lit(")"), cap_sfx,
+                         F.lit("]\n\n")),
+            )
+            .when(k == "pdf", F.concat(ind(s), F.lit("[PDF]("), F.coalesce(ref(s), F.lit("")),
+                                       F.lit(")"), cap_sfx, F.lit("]\n\n")))
+            .when(k == "divider", F.concat(ind(s), F.lit("---\n\n")))
+            .when(k == "equation", F.concat(ind(s), F.lit("$$\n"), txt(s), F.lit("\n$$\n\n")))
+            .when(
+                k == "synced_block",
+                F.when(ref(s).isNotNull(),
+                       F.concat(ind(s), F.lit("[Synced Block: Original ID "), ref(s), F.lit("]\n\n")))
+                .otherwise(F.concat(ind(s), F.lit("[Original Synced Block]\n\n"))),
+            )
+            .when(
+                k == "table",
+                F.concat(
+                    ind(s), F.lit("[Table: "),
+                    F.element_at(F.split(F.coalesce(ref(s), F.lit("0,False,False")), ","), 1),
+                    F.lit(" columns, Column Header: "),
+                    F.coalesce(F.element_at(F.split(ref(s), ","), 2), F.lit("False")),
+                    F.lit(", Row Header: "),
+                    F.coalesce(F.element_at(F.split(ref(s), ","), 3), F.lit("False")),
+                    F.lit("]\n\n"),
+                ),
+            )
+            .when(k == "table_row",
+                  F.concat(ind(s), F.lit("| "),
+                           F.concat_ws(" | ", F.split(txt(s), r"\|")), F.lit(" |\n")))
+            .otherwise(F.lit(""))
+        )
+
+    def fdate(v):
+        # P7 date formatting with passthrough on parse failure
+        # (to_markdown_parser.py:382-387); try_to_timestamp → never throws
+        return F.coalesce(
+            F.date_format(F.try_to_timestamp(v, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSX")), "yyyy-MM-dd HH:mm:ss"),
+            F.date_format(F.try_to_timestamp(v, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSX")), "yyyy-MM-dd HH:mm:ss"),
+            F.date_format(F.try_to_timestamp(v, F.lit("yyyy-MM-dd'T'HH:mm:ssX")), "yyyy-MM-dd HH:mm:ss"),
+            v,
+        )
+
+    def prop_md(s):
+        k = s["kind"]
+        name4 = lambda d: F.when(txt(s) != "", txt(s)).otherwise(F.lit(d))  # noqa: E731
+        val = ref(s)
+        have = val.isNotNull() & (val != "")
+        line = lambda name, body: F.concat(F.lit("**"), name, F.lit("**: "), body, F.lit("\n"))  # noqa: E731
+        return (
+            F.when(k.isin("prop_title", "prop_rich_text") & (txt(s) != ""),
+                   line(F.coalesce(ref(s), F.lit("Name")), txt(s)))
+            .when((k == "prop_relation") & have,
+                  line(name4("Relation"), F.concat(F.lit("[Related Page]("), val, F.lit(")"))))
+            .when((k == "prop_url") & have,
+                  line(name4("URL"), F.concat(F.lit("["), val, F.lit("]("), val, F.lit(")"))))
+            .when((k == "prop_checkbox") & have,
+                  line(name4("checkbox"), F.when(val == "true", F.lit("✅")).otherwise(F.lit("❌"))))
+            .when((k == "prop_date") & have,
+                  line(name4("date"),
+                       F.when(F.size(F.split(val, "/")) == 2,
+                              F.concat(fdate(F.element_at(F.split(val, "/"), 1)), F.lit(" - "),
+                                       fdate(F.element_at(F.split(val, "/"), 2))))
+                       .otherwise(fdate(val))))
+            .when(k.isin("prop_created_time", "prop_last_edited_time") & have,
+                  line(name4("time"), fdate(val)))
+            .when(k.isin("prop_email", "prop_phone_number", "prop_number", "prop_formula") & have,
+                  line(name4("value"), val))
+            .when((k == "prop_select") & have, line(name4("select"), F.concat(F.lit("#"), val)))
+            .when((k == "prop_multi_select") & have,
+                  line(name4("multi_select"),
+                       F.concat_ws(" ", F.transform(F.split(val, ","), lambda t: F.concat(F.lit("#"), t)))))
+            .when((k == "prop_status") & have, line(name4("status"), val))
+            .when((k == "prop_people") & have,
+                  line(name4("people"), F.concat_ws(", ", F.split(val, ","))))
+            .when((k == "prop_files") & have,
+                  line(name4("files"),
+                       F.concat_ws(", ", F.transform(
+                           F.split(val, ","),
+                           lambda u: F.concat(F.lit("["), F.element_at(F.split(u, "/"), -1),
+                                              F.lit("]("), u, F.lit(")"))))))
+            .when((k == "prop_rollup") & have,
+                  line(name4("rollup"),
+                       F.concat(F.element_at(F.split(val, ":", 2), 1), F.lit(": "),
+                                F.coalesce(F.nullif(F.element_at(F.split(val, ":", 2), 2), F.lit("")),
+                                           F.lit("N/A")))))
+            .otherwise(F.lit(""))
+        )
+
+    # transform → one concat_ws: per-span fragments materialize once and
+    # join once (an aggregate fold would re-copy the accumulator per span —
+    # quadratic allocation that thrashes GC at high parallelism)
+    prop_kinds = F.array(*[F.lit(k) for k in sorted(PROP_KINDS | EXCLUDED_PROP_KINDS)])
+    props = F.concat_ws(
+        "",
+        F.transform(
+            F.filter(spans_col, lambda s: F.array_contains(prop_kinds, s["kind"])),
+            prop_md,
+        ),
+    )
+    body = F.concat_ws(
+        "",
+        F.transform(
+            F.filter(spans_col, lambda s: ~F.array_contains(prop_kinds, s["kind"])),
+            block_md,
+        ),
+    )
+    header = F.when(props != "", F.concat(F.lit("###Properties:\n"), props)).otherwise(F.lit(""))
+    return F.concat(header, body)

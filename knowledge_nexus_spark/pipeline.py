@@ -25,7 +25,7 @@ from knowledge_nexus_spark.functions.extract import (
     extract_triples,
     extract_triples_native,
 )
-from knowledge_nexus_spark.functions.render import render_spans
+from knowledge_nexus_spark.functions.render import render_spans, render_spans_native
 from knowledge_nexus_spark.operators.graphops import (
     add_missing_nodes,
     clean_orphans,
@@ -43,6 +43,7 @@ class PipelineConfig:
     create_unprocessed: bool = False  # config.yaml:18 create_unprocessed_graph_nodes
     render_content: bool = True
     native_extract: bool = True  # JVM codegen extraction (pandas variant is the spec)
+    native_render: bool = True  # JVM aggregate-fold render (pandas variant is the spec)
     embedding_dim: int = 64
     chunk_size: int = 200  # token budget (config.yaml:50 max_tokens, scaled down)
     chunk_overlap: int = 20  # config.yaml:51 overlap, scaled proportionally
@@ -58,6 +59,12 @@ class GraphResult:
     nodes: DataFrame
     edges: DataFrame
     triples_raw: DataFrame  # pre-dedup per-encounter appends
+    documents: DataFrame | None = None  # freshness-deduped (persisted) input
+
+    def unpersist(self) -> None:
+        self.triples_raw.unpersist()
+        if self.documents is not None:
+            self.documents.unpersist()
 
 
 def build_graph(
@@ -70,37 +77,100 @@ def build_graph(
 
     ``persist_triples`` caches the raw triple extraction: both the bookmark
     nodes and the edge set consume it, and without reuse the (Python UDF)
-    extraction would execute 2-3× inside one job tree. In the checkpointed
-    ``run_pipeline`` the stage snapshot plays this role instead."""
+    extraction would execute 2-3× inside one job tree. The freshness-deduped
+    documents are persisted for the same reason — the nodes/render branch
+    and the extraction branch both consume them, and the dedup is the
+    single widest shuffle in the plan. In the checkpointed ``run_pipeline``
+    the stage snapshots play this role instead."""
+    from pyspark.storagelevel import StorageLevel
+
     cfg = cfg or PipelineConfig()
 
-    docs = freshness_dedup(documents)
+    if cfg.native_extract and cfg.native_render:
+        # SINGLE-PASS plan: one projection computes the rendered content
+        # AND the per-document triple array together, directly after the
+        # dedup window — the wide spans column is scanned once, shuffled
+        # once, and then DROPPED; the persisted intermediate holds only
+        # (header cols, content, triple array). Halves the wide-data I/O
+        # vs running a render branch and an extract branch separately.
+        processed_pred = ~F.col("archived") & ~F.col("in_trash")
+        from knowledge_nexus_spark.functions.extract import doc_triples_expr, normalize_uuid_col
 
-    nodes = page_nodes(docs, cfg.add_archived, cfg.add_removed)
-    processed = content_docs(docs)
-    if cfg.render_content:
-        rendered = processed.select(
-            "doc_id", render_spans(F.col("spans")).alias("_rendered")
+        empty_tris = F.array().cast(
+            "array<struct<pred:string,obj:string,context:string>>"
         )
-        nodes = (
-            nodes.drop("content")
-            .join(rendered, nodes["id"] == rendered["doc_id"], "left")
+        content_expr = (
+            F.when(processed_pred, render_spans_native(F.col("spans")))
+            if cfg.render_content
+            else F.lit(None).cast("string")
+        )
+        combined = (
+            freshness_dedup(documents)
             .select(
-                "id",
-                "title",
-                "type",
-                "url",
-                F.col("_rendered").alias("content"),
-                "source",
+                "doc_id", "title", "doc_kind", "url", "archived", "in_trash",
                 "last_edited_time",
+                content_expr.alias("content"),
+                F.when(processed_pred, doc_triples_expr(F.col("spans")))
+                .otherwise(empty_tris)
+                .alias("_tris"),
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        docs = combined  # header columns preserved; spans intentionally gone
 
-    extract = extract_triples_native if cfg.native_extract else extract_triples
-    triples_raw = extract(processed)
+        keep = F.lit(True)
+        if not cfg.add_archived:
+            keep = keep & ~F.col("archived")
+        if not cfg.add_removed:
+            keep = keep & ~F.col("in_trash")
+        title = (
+            F.when(F.col("archived"), F.concat(F.lit("[ARCHIVED] "), F.col("title")))
+            .when(F.col("in_trash"), F.concat(F.lit("[REMOVED] "), F.col("title")))
+            .otherwise(F.col("title"))
+        )
+        nodes = combined.filter(keep).select(
+            F.col("doc_id").alias("id"),
+            title.alias("title"),
+            F.when(F.col("doc_kind") == "database", F.lit("Database"))
+            .otherwise(F.lit("Page"))
+            .alias("type"),
+            "url",
+            "content",
+            F.lit("Notion").alias("source"),
+            "last_edited_time",
+        )
+        triples_raw = combined.select(
+            normalize_uuid_col(F.col("doc_id")).alias("subj"),
+            F.explode("_tris").alias("t"),
+        ).select("subj", "t.pred", "t.obj", "t.context")
+    else:
+        # legacy two-branch plan (the Arrow/pandas spec implementations)
+        docs = freshness_dedup(documents).persist(StorageLevel.MEMORY_AND_DISK)
+
+        nodes = page_nodes(docs, cfg.add_archived, cfg.add_removed)
+        processed = content_docs(docs)
+        if cfg.render_content:
+            render = render_spans_native if cfg.native_render else render_spans
+            rendered = processed.select(
+                "doc_id", render(F.col("spans")).alias("_rendered")
+            )
+            nodes = (
+                nodes.drop("content")
+                .join(rendered, nodes["id"] == rendered["doc_id"], "left")
+                .select(
+                    "id",
+                    "title",
+                    "type",
+                    "url",
+                    F.col("_rendered").alias("content"),
+                    "source",
+                    "last_edited_time",
+                )
+            )
+        extract = extract_triples_native if cfg.native_extract else extract_triples
+        triples_raw = extract(processed)
+
     if persist_triples:
-        from pyspark.storagelevel import StorageLevel
-
         triples_raw = triples_raw.persist(StorageLevel.MEMORY_AND_DISK)
     all_nodes = nodes.unionByName(bookmark_nodes(triples_raw))
 
@@ -111,7 +181,9 @@ def build_graph(
         kept = clean_orphans(triples_raw, all_nodes)
 
     edges = distinct_triples(kept)
-    return GraphResult(nodes=all_nodes, edges=edges, triples_raw=triples_raw)
+    return GraphResult(
+        nodes=all_nodes, edges=edges, triples_raw=triples_raw, documents=docs
+    )
 
 
 def run_pipeline(
@@ -139,8 +211,9 @@ def run_pipeline(
     def _nodes():
         nodes = page_nodes(docs, cfg.add_archived, cfg.add_removed)
         if cfg.render_content:
+            render = render_spans_native if cfg.native_render else render_spans
             rendered = processed.select(
-                "doc_id", render_spans(F.col("spans")).alias("_rendered")
+                "doc_id", render(F.col("spans")).alias("_rendered")
             )
             nodes = (
                 nodes.drop("content")

@@ -103,7 +103,7 @@ RICH_TEXT_KINDS = [
 ]
 URL_KINDS = ["bookmark", "embed", "link_preview"]
 CHILD_KINDS = ["child_page", "child_database"]
-MEDIA_KINDS = ["image", "video", "file", "pdf"]
+MEDIA_KINDS = ["image", "video", "audio", "file", "pdf"]
 STRUCT_KINDS = ["divider", "table_of_contents", "breadcrumb", "equation"]
 ALL_KINDS = (
     RICH_TEXT_KINDS + URL_KINDS + CHILD_KINDS + MEDIA_KINDS + STRUCT_KINDS + ["link_to_page"]

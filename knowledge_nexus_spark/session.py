@@ -39,11 +39,26 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the corpus contains deliberate hub entities (a hot obj key owns
+        # ~25% of triples); default skew thresholds (256 MiB) never fire at
+        # realistic partition sizes — make AQE split skewed partitions at
+        # the sizes this workload actually produces
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # span arrays + embeddings are wide rows: bound Arrow batches
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # shuffle/spill scratch on tmpfs: the sandbox's / is one virtual
+        # disk whose bandwidth serializes shuffle I/O regardless of core
+        # count; a real cluster stripes this across per-node local SSDs
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/knx-spark-local"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -35,6 +35,7 @@ class StageCheckpointer:
     spark: SparkSession
     base_dir: str
     metrics: dict = field(default_factory=dict)
+    ttl_seconds: float | None = None  # cache_util.py:91-93 TTL gate
 
     def _path(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
@@ -43,15 +44,24 @@ class StageCheckpointer:
         return os.path.join(self._path(name), META_FILE)
 
     def is_committed(self, name: str) -> bool:
+        """A snapshot counts only if its meta exists, its format version
+        matches (cacheable.py:29-31 version gate → recompute on mismatch),
+        and it is younger than the TTL when one is set."""
         mp = self._meta_path(name)
         if not os.path.exists(mp):
             return False
         try:
             with open(mp) as f:
                 meta = json.load(f)
-            return meta.get("format_version") == FORMAT_VERSION
         except (json.JSONDecodeError, OSError):
             return False
+        if meta.get("format_version") != FORMAT_VERSION:
+            return False
+        if self.ttl_seconds is not None:
+            age = time.time() - meta.get("committed_at_epoch", 0)
+            if age > self.ttl_seconds:
+                return False
+        return True
 
     def save(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
         """Write the stage output + metrics sidecar; returns the re-read

@@ -88,6 +88,22 @@ def test_indent_and_order_preserved():
     assert out == "# A\n\nfirst\n\n    nested\n\nlast\n\n"
 
 
+def test_native_render_equals_python_render(spark):
+    """The JVM aggregate-fold renderer and the pandas renderer are two
+    implementations of the same templates — byte-identical output."""
+    from pyspark.sql import functions as F
+
+    from knowledge_nexus_spark.datagen import CorpusConfig, generate_documents
+    from knowledge_nexus_spark.functions.render import render_spans, render_spans_native
+
+    docs = generate_documents(spark, CorpusConfig(n_docs=150, seed=23)).localCheckpoint(True)
+    py = {r.doc_id: r.c for r in docs.select(
+        "doc_id", render_spans(F.col("spans")).alias("c")).collect()}
+    nat = {r.doc_id: r.c for r in docs.select(
+        "doc_id", render_spans_native(F.col("spans")).alias("c")).collect()}
+    assert py == nat
+
+
 def test_date_passthrough_on_bad_value():
     out = render_spans_py([sp("prop_date", "When", "not-a-date")])
     assert "**When**: not-a-date\n" in out
