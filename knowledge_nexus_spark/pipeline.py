@@ -52,6 +52,10 @@ class PipelineConfig:
     canonicalize: bool = False  # stage 5 (G3 alias connected components)
     link_min_cosine: float = 0.6
     alias_min_cosine: float = 0.95  # entity-entity merge confidence
+    # explicit hub-skew handling in orphan cleaning: endpoint keys with at
+    # least this many triples are checked as literal predicates instead of
+    # shuffled to one reducer (None disables; see graphops.clean_orphans)
+    skew_hot_min_count: int | None = 100_000
 
 
 @dataclass
@@ -178,7 +182,7 @@ def build_graph(
         all_nodes = add_missing_nodes(triples_raw, all_nodes)
         kept = triples_raw
     else:
-        kept = clean_orphans(triples_raw, all_nodes)
+        kept = clean_orphans(triples_raw, all_nodes, cfg.skew_hot_min_count)
 
     edges = distinct_triples(kept)
     return GraphResult(

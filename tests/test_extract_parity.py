@@ -93,6 +93,20 @@ def test_span_sequence_invariant(spark):
         assert got == want, did
 
 
+def test_skew_hot_key_orphan_clean_is_equivalent(spark):
+    """Hub-skew heavy-hitter separation must not change the result: with a
+    threshold low enough that the hub doc qualifies, the edge set equals
+    the plain double-semi-join path (and the oracle)."""
+    docs = _spark_docs(spark)
+    plain = build_graph(
+        spark, docs, PipelineConfig(render_content=False, skew_hot_min_count=None)
+    )
+    skewed = build_graph(
+        spark, docs, PipelineConfig(render_content=False, skew_hot_min_count=3)
+    )
+    assert _triple_set(plain.edges) == _triple_set(skewed.edges)
+
+
 def test_native_extraction_equals_pandas_extraction(spark):
     """The JVM-codegen extractor and the Arrow/pandas extractor are two
     implementations of the same rules — their outputs must be identical
