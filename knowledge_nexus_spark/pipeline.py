@@ -56,6 +56,15 @@ class PipelineConfig:
     # least this many triples are checked as literal predicates instead of
     # shuffled to one reducer (None disables; see graphops.clean_orphans)
     skew_hot_min_count: int | None = 100_000
+    # cache the fused intermediate (True) vs recompute per sink branch
+    # (False). WARNING: False is pathological in build_graph — the fused
+    # projection has 4+ consumers (nodes, bookmarks, hot-key pre-agg, semi
+    # joins) and each would re-run render+extract; it exists only for
+    # run_pipeline-style flows where stage snapshots replace the cache.
+    persist_intermediate: bool = True
+    # freshness dedup via broadcast few-dups joins instead of the wide
+    # window shuffle (see graphops.freshness_dedup tradeoff notes)
+    dedup_few_dups: bool = False
 
 
 @dataclass
@@ -109,7 +118,7 @@ def build_graph(
             else F.lit(None).cast("string")
         )
         combined = (
-            freshness_dedup(documents)
+            freshness_dedup(documents, few_dups=cfg.dedup_few_dups)
             .select(
                 "doc_id", "title", "doc_kind", "url", "archived", "in_trash",
                 "last_edited_time",
@@ -118,8 +127,9 @@ def build_graph(
                 .otherwise(empty_tris)
                 .alias("_tris"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if cfg.persist_intermediate:
+            combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
         docs = combined  # header columns preserved; spans intentionally gone
 
         keep = F.lit(True)
@@ -174,7 +184,7 @@ def build_graph(
         extract = extract_triples_native if cfg.native_extract else extract_triples
         triples_raw = extract(processed)
 
-    if persist_triples:
+    if persist_triples and cfg.persist_intermediate:
         triples_raw = triples_raw.persist(StorageLevel.MEMORY_AND_DISK)
     all_nodes = nodes.unionByName(bookmark_nodes(triples_raw))
 

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the KG-construction pipeline.
+
+Cluster usage (the north rule's invocation shape):
+
+    cd /root/repo && zip -r /tmp/knx.zip knowledge_nexus_spark
+    spark-submit --py-files /tmp/knx.zip scripts/run_pipeline.py \\
+        --input  s3://bucket/documents/   \\
+        --workdir s3://bucket/kg_run_001/ \\
+        --with-chunks --with-linking --canonicalize
+
+Local smoke:
+
+    python scripts/run_pipeline.py --generate 5000 --workdir /tmp/knx_run
+
+The job is resumable: re-submitting with the same --workdir skips every
+stage whose snapshot committed (storage/checkpoint.py), which is how a
+killed run continues — the north-star requirement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="parquet dir of documents(doc_id, spans, ...)")
+    p.add_argument("--generate", type=int, default=0,
+                   help="instead of --input: generate a seeded corpus of N docs")
+    p.add_argument("--workdir", required=True, help="stage checkpoint directory")
+    p.add_argument("--with-chunks", action="store_true")
+    p.add_argument("--with-linking", action="store_true")
+    p.add_argument("--canonicalize", action="store_true")
+    p.add_argument("--create-unprocessed", action="store_true")
+    p.add_argument("--master", default=None, help="override (default: session env)")
+    args = p.parse_args()
+
+    from knowledge_nexus_spark.pipeline import PipelineConfig, run_pipeline
+    from knowledge_nexus_spark.session import get_spark
+
+    spark = get_spark("knx-pipeline", master=args.master)
+
+    if args.generate:
+        from knowledge_nexus_spark.datagen import CorpusConfig, generate_documents
+
+        docs = generate_documents(spark, CorpusConfig(n_docs=args.generate))
+    elif args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        p.error("one of --input / --generate is required")
+
+    cfg = PipelineConfig(
+        with_chunks=args.with_chunks,
+        with_linking=args.with_linking,
+        canonicalize=args.canonicalize,
+        create_unprocessed=args.create_unprocessed,
+    )
+    t0 = time.perf_counter()
+    ck, nodes, edges, chunks = run_pipeline(spark, docs, args.workdir, cfg)
+    summary = {
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "nodes": nodes.count(),
+        "edges": edges.count(),
+        "chunks": chunks.count() if chunks is not None else 0,
+        "stages": ck.metrics,
+        "workdir": args.workdir,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
