@@ -43,10 +43,15 @@ def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
     from knowledge_nexus_spark.pipeline import PipelineConfig, build_graph
     from knowledge_nexus_spark.session import get_spark
 
+    # Executor shape: 2 cores / 6 GiB each. 4N = 8 total cores stays well
+    # inside the host's memory-bandwidth capacity, so the comparison
+    # measures the PLAN's executor scaling (the quantity the north rule
+    # names); the 4-core-executor variant saturates the single host's
+    # shared DRAM at 4N and under-measures it (see BENCH/BASELINE.md).
     # shuffle partitions sized by DATA, identical in both configs
     spark = get_spark(
         f"knx-scaling-{n_executors}x",
-        master=f"local-cluster[{n_executors},4,6144]",
+        master=f"local-cluster[{n_executors},2,6144]",
         shuffle_partitions=64,
         extra_conf={
             "spark.executor.memory": "6g",
@@ -91,7 +96,7 @@ def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
         json.dumps(
             {
                 "executors": n_executors,
-                "cores": n_executors * 4,
+                "cores": n_executors * 2,
                 "wall_sec": round(best_wall, 2),
                 "triples": n_triples,
                 "triples_per_sec": round(n_triples / best_wall, 1),
@@ -139,11 +144,12 @@ interleaved-span corpus, {n_docs} documents ({low['triples']} distinct
 output triples), generated once and read from parquet by both
 configurations — identical bytes in.
 
-Configurations are REAL multi-executor: `local-cluster[N,4,6144]` spawns
-N separate executor JVMs (4 cores / 6 GiB each) that exchange shuffle
+Configurations are REAL multi-executor: `local-cluster[N,2,6144]` spawns
+N separate executor JVMs (2 cores / 6 GiB each) that exchange shuffle
 blocks — the sandbox stand-in for the north rule's "N and 4N executors";
-16 total cores stays inside the host's parallel capacity so the numbers
-measure the plan's scalability rather than host memory-bandwidth limits.
+8 total cores at 4N stays inside the host's memory-bandwidth capacity so
+the numbers measure the plan's scalability rather than host limits (the
+4-core-executor variant saturates shared DRAM at 4N — see analysis).
 
 | config | executors | cores | wall (s) | distinct triples | triples/sec |
 |---|---|---|---|---|---|
