@@ -86,13 +86,33 @@ def connected_components(
 def canonical_map(alias_edges: DataFrame, all_ids: DataFrame) -> DataFrame:
     """(id, canonical_id) for every id in ``all_ids`` — identity when the id
     participates in no alias class. Join this against triples' subj/obj to
-    rewrite them (broadcast if small; shuffle join otherwise)."""
+    rewrite them (broadcast if small; shuffle join otherwise).
+
+    The canonical label per component is the min member that is a REAL id
+    from ``all_ids`` — alias edges may connect free-text mentions to node
+    ids, and electing a mention as canonical would rewrite real endpoints
+    onto a string no node carries, so the subsequent orphan clean would
+    silently drop the entity's edges. Components with no real member fall
+    back to the min member."""
     comp = connected_components(alias_edges)
+    ids = all_ids.select(F.col("id")).distinct()
+
+    tagged = comp.join(ids.withColumn("_is_real", F.lit(True)), "id", "left")
+    canon = (
+        tagged.groupBy("component")
+        .agg(
+            F.min(F.when(F.col("_is_real"), F.col("id"))).alias("_real_canon"),
+            F.min("id").alias("_any_canon"),
+        )
+        .select(
+            "component",
+            F.coalesce("_real_canon", "_any_canon").alias("canonical_id"),
+        )
+    )
+    resolved = comp.join(canon, "component").select("id", "canonical_id")
     return (
-        all_ids.select(F.col("id"))
-        .distinct()
-        .join(comp, "id", "left")
-        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("canonical_id"))
+        ids.join(resolved, "id", "left")
+        .select("id", F.coalesce("canonical_id", F.col("id")).alias("canonical_id"))
     )
 
 

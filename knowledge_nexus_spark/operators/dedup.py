@@ -55,31 +55,70 @@ def _token_shingles(text_col: str, n: int):
     )
 
 
+def _jaccard_prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from the prefix-filtered inverted index
+    over a (id, sh ARRAY, sh_size) frame. Lossless for Jaccard ≥ threshold:
+    two sets with J ≥ t must share a shingle among each one's
+    ``|A| − ceil(t·|A|) + 1`` globally-rarest shingles (all-pairs prefix
+    filter), so indexing only those prefixes misses no true pair while
+    keeping corpus-universal shingles out of the self-join."""
+    from pyspark.sql import Window
+
+    tok = sh.select("id", "sh_size", F.explode("sh").alias("shingle"))
+    freq = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+
+    prefix_len = (
+        F.col("sh_size") - F.ceil(F.lit(threshold) * F.col("sh_size")) + 1
+    ).cast("int")
+    w = Window.partitionBy("id").orderBy("doc_freq", "shingle")
+    prefix = (
+        tok.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("id", "shingle")
+    )
+
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact n-gram Jaccard ≥ threshold via a shingle inverted index:
-    explode distinct shingles → self-join on shingle → |A∩B| per pair →
-    J = inter / (|A| + |B| − inter). The inverted index IS the blocking:
-    pairs sharing no shingle never meet."""
+    """Exact n-gram Jaccard ≥ threshold via a PREFIX-FILTERED inverted
+    index (Bayardo et al. all-pairs / Chaudhuri et al. SSJoin):
+
+    1. global shingle document frequency (one groupBy);
+    2. order each doc's shingles rarest-first and index only the first
+       ``|A| − ceil(t·|A|) + 1`` of them — any pair with J ≥ t provably
+       shares an indexed prefix shingle, so the filter is lossless;
+    3. candidate pairs from the prefix inverted index;
+    4. exact verify via native array_intersect on the full shingle sets.
+
+    The prefix ordering puts corpus-universal shingles LAST, so a stop
+    word like "the" never enters the index for any doc with more than a
+    handful of shingles — the hot-shingle quadratic bucket that a plain
+    inverted-index self-join suffers is gone while the result stays
+    exactly the set of pairs with true Jaccard ≥ threshold."""
     sh = df.select(
         F.col(id_col).alias("id"), _token_shingles(text_col, n).alias("sh")
     ).withColumn("sh_size", F.size("sh"))
-    sizes = sh.select("id", "sh_size")
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
 
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sh_size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sh_size").alias("size_b"))
+    cand = _jaccard_prefix_candidates(sh, threshold)
+
+    fa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                   F.col("sh_size").alias("size_a"))
+    fb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                   F.col("sh_size").alias("size_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
@@ -120,18 +159,98 @@ def minhash_lsh_pairs(
     )
 
 
+def md5_hash64(col):
+    """Deterministic 60-bit token hash computable in ANY SQL engine
+    (md5 hex → int): the dual-engine replacement for xxhash64 wherever a
+    DuckDB/ANSI oracle must reproduce the signature bit-for-bit.
+    15 hex chars = 60 bits < 2^63, so the value is always non-negative."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_pairs_native(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.5,
+    num_tables: int = 8,
+) -> DataFrame:
+    """MinHash-banded near-dup pairs with a fully DETERMINISTIC dual-engine
+    hash (md5-derived — see ``md5_hash64``), unlike the Spark ML
+    ``minhash_lsh_pairs`` whose hash family has no SQL analogue.
+
+    One hash table per band: candidates are pairs agreeing on ANY band's
+    min-hash; exact Jaccard verify on candidates only. The candidate set —
+    hence the result — is a pure function of the corpus, so a DuckDB oracle
+    reproduces it exactly. Scale shape: never all-pairs, the band join is
+    the blocking."""
+    sh = df.select(
+        F.col(id_col).alias("id"), _token_shingles(text_col, n).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+
+    tok = sh.select("id", F.explode("sh").alias("shingle"))
+    sigs = tok.groupBy("id").agg(*[
+        F.min(
+            md5_hash64(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+        ).alias(f"_k{i}")
+        for i in range(num_tables)
+    ])
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"_k{i}").alias("key"))
+                for i in range(num_tables)
+            ])
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    fa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                   F.col("sh_size").alias("size_a"))
+    fb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                   F.col("sh_size").alias("size_b"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # --- simhash ---------------------------------------------------------------
 
 SIMHASH_BITS = 48  # keep the value positive in a signed 64-bit long
 
 
-def add_simhash(df: DataFrame, text_col: str, out_col: str = "sig", bits: int = SIMHASH_BITS) -> DataFrame:
-    """SimHash, all native: per-token xxhash64 → per-bit ±1 votes folded
+def add_simhash(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "sig",
+    bits: int = SIMHASH_BITS,
+    token_hash=F.xxhash64,
+) -> DataFrame:
+    """SimHash, all native: per-token hash → per-bit ±1 votes folded
     with one array aggregate (bit shifts unrolled as literal ints) →
     sign bits packed into a LONG. Two selects so the vote vector is
-    materialized once, not re-evaluated per bit."""
+    materialized once, not re-evaluated per bit.
+
+    ``token_hash`` defaults to xxhash64 (fastest); pass ``md5_hash64`` for
+    the dual-engine variant a DuckDB oracle can reproduce."""
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: token_hash(t))
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
     votes = F.aggregate(
         hashes,
@@ -164,13 +283,19 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = SIMHASH_BITS,
+    token_hash=F.xxhash64,
 ) -> DataFrame:
     """Near-dup pairs by simhash: band the signature (any pair within
     Hamming k must share ≥1 of k+1 bands), join per band, verify with
-    bit_count(a XOR b) ≤ k. All JVM-side."""
+    bit_count(a XOR b) ≤ k. All JVM-side.
+
+    With bands ≥ max_hamming+1 the banding is LOSSLESS (pigeonhole): the
+    result is exactly {pairs with Hamming(sig_a, sig_b) ≤ k} — an oracle
+    may therefore verify all-pairs over the signatures without banding."""
     band_bits = bits // bands
     sig = add_simhash(
-        df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col, "sig", bits
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col, "sig", bits,
+        token_hash=token_hash,
     ).select("id", "sig")
     banded = sig.select(
         "id",

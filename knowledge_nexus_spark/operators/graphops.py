@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 
 
 def _freshness_window(documents: DataFrame) -> DataFrame:
+    # Final tie-break on a content hash: two versions with IDENTICAL
+    # last_edited_time but different spans/title must pick a deterministic
+    # winner across runs/partitionings (which one wins is implementation-
+    # defined — the oracle's strictly-newer-wins keeps its first-encountered
+    # row and the corpus generator never emits equal timestamps).
     w = (
         Window.partitionBy("doc_id")
         .orderBy(
@@ -30,6 +35,7 @@ def _freshness_window(documents: DataFrame) -> DataFrame:
                 F.col("last_edited_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"
             ).desc_nulls_last(),
             F.col("last_edited_time").desc_nulls_last(),
+            F.xxhash64(F.col("title"), F.col("spans")).desc(),
         )
     )
     return (

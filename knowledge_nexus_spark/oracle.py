@@ -88,6 +88,9 @@ def run_oracle(corpus_rows: list[dict], cfg: OracleConfig | None = None) -> Orac
     # ---- freshness last-writer-wins over duplicate versions ------------
     # (notion_provider.py:315-319: an already-prepared page is replaced
     # only by a strictly newer last_edited_time)
+    # EQUAL timestamps: which version wins is implementation-defined — the
+    # oracle keeps its first-encountered row, Spark's window tie-breaks on
+    # a content hash; the corpus generator never emits equal timestamps.
     latest: dict[str, dict] = {}
     for row in corpus_rows:
         did = _norm(row["doc_id"])

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from knowledge_nexus_spark.functions.extract import (
     bookmark_nodes,
+    bookmark_urls,
     extract_triples,
     extract_triples_native,
 )
@@ -107,11 +108,16 @@ def build_graph(
         # (header cols, content, triple array). Halves the wide-data I/O
         # vs running a render branch and an extract branch separately.
         processed_pred = ~F.col("archived") & ~F.col("in_trash")
-        from knowledge_nexus_spark.functions.extract import doc_triples_expr, normalize_uuid_col
+        from knowledge_nexus_spark.functions.extract import (
+            doc_bookmark_urls_expr,
+            doc_triples_expr,
+            normalize_uuid_col,
+        )
 
         empty_tris = F.array().cast(
             "array<struct<pred:string,obj:string,context:string>>"
         )
+        empty_urls = F.array().cast("array<string>")
         content_expr = (
             F.when(processed_pred, render_spans_native(F.col("spans")))
             if cfg.render_content
@@ -126,6 +132,9 @@ def build_graph(
                 F.when(processed_pred, doc_triples_expr(F.col("spans")))
                 .otherwise(empty_tris)
                 .alias("_tris"),
+                F.when(processed_pred, doc_bookmark_urls_expr(F.col("spans")))
+                .otherwise(empty_urls)
+                .alias("_burls"),
             )
         )
         if cfg.persist_intermediate:
@@ -157,6 +166,7 @@ def build_graph(
             normalize_uuid_col(F.col("doc_id")).alias("subj"),
             F.explode("_tris").alias("t"),
         ).select("subj", "t.pred", "t.obj", "t.context")
+        burl_frame = combined.select(F.explode("_burls").alias("id")).distinct()
     else:
         # legacy two-branch plan (the Arrow/pandas spec implementations)
         docs = freshness_dedup(documents).persist(StorageLevel.MEMORY_AND_DISK)
@@ -183,10 +193,11 @@ def build_graph(
             )
         extract = extract_triples_native if cfg.native_extract else extract_triples
         triples_raw = extract(processed)
+        burl_frame = bookmark_urls(processed)
 
     if persist_triples and cfg.persist_intermediate:
         triples_raw = triples_raw.persist(StorageLevel.MEMORY_AND_DISK)
-    all_nodes = nodes.unionByName(bookmark_nodes(triples_raw))
+    all_nodes = nodes.unionByName(bookmark_nodes(burl_frame))
 
     if cfg.create_unprocessed:
         all_nodes = add_missing_nodes(triples_raw, all_nodes)
@@ -238,7 +249,7 @@ def run_pipeline(
                     "source", "last_edited_time",
                 )
             )
-        return nodes.unionByName(bookmark_nodes(triples_raw))
+        return nodes.unionByName(bookmark_nodes(bookmark_urls(processed)))
 
     nodes = ck.load_or_compute("s3_nodes", _nodes)
 

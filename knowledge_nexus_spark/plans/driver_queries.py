@@ -116,9 +116,23 @@ def sql_kg_missing_endpoints():
     """
 
 
+COMENTION_CAP = 64  # max entities paired per context key (see docstring)
+
+
 def q_kg_comention(spark, sf_dir):
-    """J8/A4 co-mention strength: part pairs sharing an order, top-10."""
+    """J8/A4 co-mention strength: part pairs sharing an order, top-10.
+
+    Per-key pair generation is quadratic in key multiplicity, so a context
+    with 10⁴ entities would emit 10⁸ pairs — a straggler AQE cannot split.
+    Documented cap: only the first COMENTION_CAP entities per context (by
+    id, deterministic) participate in pairing; the oracle applies the same
+    rule. TPC-H orders have ≤7 lineitems, so results are identical at
+    every sf, while a pathological hub key is bounded at CAP² pairs."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    li = li.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= COMENTION_CAP
+    ).drop("rk")
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(b, "l_orderkey")
@@ -131,9 +145,14 @@ def q_kg_comention(spark, sf_dir):
 
 
 def sql_kg_comention():
-    return """
+    return f"""
+    WITH capped AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        FROM lineitem) WHERE rk <= {COMENTION_CAP})
     SELECT a.l_partkey AS e1, b.l_partkey AS e2, count(*) AS strength
-    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    FROM capped a JOIN capped b ON a.l_orderkey = b.l_orderkey
     WHERE a.l_partkey < b.l_partkey
     GROUP BY 1, 2 ORDER BY strength DESC, e1, e2 LIMIT 10
     """
@@ -242,18 +261,72 @@ def sql_dedup_token_jaccard():
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """Approximate MinHash-LSH near-dup pairs (rows-only driver check; the
-    pytest suite verifies it is a subset-with-recall of exact Jaccard)."""
+    """MinHash-banded near-dup pairs with the dual-engine md5-derived hash:
+    the candidate set (hence the result) is a pure function of the corpus,
+    so the DuckDB oracle reproduces it EXACTLY — full rows+schema+hash
+    check, unlike the Spark ML hash family which has no SQL analogue (that
+    variant stays as the library op, recall-pinned in pytest)."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, "doc_id", "text", n=1, max_jaccard_distance=0.2).select(
-        "id_a", "id_b"
-    )
+    pairs = dd.minhash_pairs_native(docs, "doc_id", "text", n=1, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_dedup_minhash_lsh():
+    return """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t FROM documents),
+    inv AS (SELECT doc_id, unnest(t) AS sh FROM toks),
+    sig AS (
+      SELECT doc_id, i,
+             min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sh), 1, 15)) AS BIGINT)) AS key
+      FROM inv CROSS JOIN (SELECT unnest(range(8)) AS i) tables
+      GROUP BY doc_id, i),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, t, len(t) AS s FROM toks)
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.t, sb.t)) AS DOUBLE)
+                 / (sa.s + sb.s - len(list_intersect(sa.t, sb.t))), 6) AS jaccard
+    FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.t, sb.t)) AS DOUBLE)
+          / (sa.s + sb.s - len(list_intersect(sa.t, sb.t))) >= 0.8
+    """
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only; xxhash64 has no DuckDB analogue)."""
+    """SimHash near-dup pairs with the dual-engine md5 token hash. The
+    banding is lossless at bands ≥ max_hamming+1 (pigeonhole), so the
+    oracle verifies the SAME result with a bandless all-pairs Hamming
+    check over identically-computed signatures."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    pairs = dd.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3, token_hash=dd.md5_hash64
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def sql_dedup_simhash():
+    return """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+      FROM documents),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+    votes AS (
+      SELECT doc_id, bits.b AS bit,
+             sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(range(48)) AS b) bits
+      GROUP BY doc_id, bits.b),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sig
+      FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -431,7 +504,10 @@ def sql_tpch_top_orders():
 
 
 def q_tpch_region_revenue(spark, sf_dir):
-    """Star join: dims are broadcast (explicit hint — they are tiny)."""
+    """Star join. True dimensions (customer/nation/region — bounded or
+    sublinear in sf) are broadcast; orders is a FACT table (~1/4 of
+    lineitem) and must shuffle-join — broadcasting it OOMs at scale, so
+    the hint is deliberately absent and AQE picks the strategy."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -439,7 +515,7 @@ def q_tpch_region_revenue(spark, sf_dir):
     region = _t(spark, sf_dir, "region")
     disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount")))
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 li["l_orderkey"] == F.col("o_orderkey"))
         .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
               F.col("o_custkey") == F.col("c_custkey"))
@@ -502,7 +578,10 @@ def q_tpch_q3(spark, sf_dir):
     disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount")))
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        # No broadcast hint on the filtered customer segment: it is ~1/5 of
+        # customers and grows linearly with sf — let AQE decide from runtime
+        # stats instead of pinning a broadcast that breaks at 100×.
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("o_orderdate") < "1995-03-15")
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
         .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
@@ -581,7 +660,12 @@ def q_events_sessionize(spark, sf_dir):
     """Sessionization: 30-minute inactivity gap starts a new session."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # Fractional-second epoch delta: unix_timestamp() truncates to whole
+    # seconds, which misclassifies gaps in (1800, 1801) vs the oracle's
+    # microsecond-precise epoch(). ts is TIMESTAMP_NTZ, so hop through
+    # TIMESTAMP before DOUBLE (delta is timezone-invariant).
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
     flagged = ev.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
@@ -591,7 +675,7 @@ def q_events_sessionize(spark, sf_dir):
 
 def sql_events_sessionize():
     return """
-    SELECT user_id, sum(new_session) AS n_sessions FROM (
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
       SELECT user_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                        OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
@@ -642,8 +726,12 @@ ORACLE_SQL = {
     "kg_bookmark_nodes": sql_kg_bookmark_nodes(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_token_jaccard": sql_dedup_token_jaccard(),
-    # dedup_minhash_lsh, dedup_simhash, ann_lsh: approximate/engine-defined →
-    # rows-only driver check; recall verified against exact variants in pytest
+    # minhash + simhash use the dual-engine md5 hash → fully oracled;
+    # dedup_embedding_lsh + ann_lsh depend on float hyperplane signatures
+    # (md5-bytes → float32 matmul) that plain SQL cannot reproduce →
+    # rows-only driver check, recall pinned against exact variants in pytest
+    "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
+    "dedup_simhash": sql_dedup_simhash(),
     "dedup_embedding": sql_dedup_embedding(),
     "ann_topk": sql_ann_topk(),
     "text_stats": sql_text_stats(),

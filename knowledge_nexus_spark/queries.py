@@ -124,10 +124,22 @@ def retrieve(
     return {"nodes": top_nodes, "edges": kept_edges}
 
 
-def comention_strength(edges: DataFrame, top_n: int = 10) -> DataFrame:
+def comention_strength(
+    edges: DataFrame, top_n: int = 10, per_key_cap: int = 64
+) -> DataFrame:
     """A4/J8: entity pairs sharing a subject, counted, top-N — the
-    2-step MENTIONS strength query (neo4j_manager.py:257-268)."""
-    m = edges.select("subj", "obj")
+    2-step MENTIONS strength query (neo4j_manager.py:257-268).
+
+    Pair generation is quadratic per subject, so a hub subject with 10⁴
+    objects would emit 10⁸ rows in one task. ``per_key_cap`` keeps only
+    the first N objects per subject (deterministic by id) before pairing —
+    bounded at cap² pairs per key; typical contexts are far below the cap
+    so results are unchanged."""
+    m = edges.select("subj", "obj").distinct()
+    w = Window.partitionBy("subj").orderBy("obj")
+    m = m.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= per_key_cap
+    ).drop("_rk")
     a, b = m.alias("a"), m.alias("b")
     return (
         a.join(b, F.col("a.subj") == F.col("b.subj"))

@@ -7,11 +7,16 @@ triple extraction → ``foreachBatch`` MERGE into the edges snapshot
 (idempotent: distinct on the MERGE key, union with the existing snapshot,
 last-writer-wins on nodes). Exactly-once comes from the streaming
 checkpoint + the idempotent merge, mirroring Iceberg MERGE in production.
+
+Scale design — the MERGE is PARTITION-SCOPED: the snapshot is hash-
+partitioned on ``bucket = pmod(xxhash64(subj), N)`` and each micro-batch
+reads and rewrites ONLY the partitions its own subjects touch (dynamic
+partition overwrite). Work per batch is O(batch ∪ touched partitions),
+not O(total snapshot), so the stream never falls behind its own history —
+the parquet emulation of an Iceberg MERGE INTO's file-level pruning.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,28 +25,73 @@ from knowledge_nexus_spark.functions.extract import extract_triples_native
 from knowledge_nexus_spark.operators.graphops import content_docs
 from knowledge_nexus_spark.schema import DOCUMENTS_SCHEMA
 
+N_BUCKETS = 64
+_MERGE_KEY = ["subj", "pred", "obj", "context"]
+
+
+def _bucket_of(col):
+    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
+
+
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Existence via the Hadoop FS API — correct on any scheme (s3a, hdfs,
+    file), unlike os.path.exists which only sees the local filesystem."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _snapshot_exists(spark: SparkSession, path: str) -> bool:
+    """The dynamic-partition-overwrite committer writes NO root _SUCCESS
+    marker — a snapshot exists iff the root holds bucket partition dirs."""
+    jvm = spark.sparkContext._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jroot):
+        return False
+    glob = fs.globStatus(jvm.org.apache.hadoop.fs.Path(path + "/bucket=*"))
+    return glob is not None and len(glob) > 0
+
 
 def merge_edges_batch(batch_df: DataFrame, epoch_id: int, edges_path: str) -> None:
     """foreachBatch sink: extract batch triples, MERGE-distinct into the
-    running edges snapshot."""
+    running edges snapshot, touching only the partitions the batch hits.
+
+    Idempotent under retries: the merged content of a partition is a pure
+    function of (snapshot partition, batch), so rewriting it twice yields
+    identical bytes — no epoch-suffixed staging dirs to leak."""
     spark = batch_df.sparkSession
     new_edges = (
         extract_triples_native(content_docs(batch_df))
         .withColumn("context", F.coalesce(F.col("context"), F.lit("")))
-        .dropDuplicates(["subj", "pred", "obj", "context"])
+        .dropDuplicates(_MERGE_KEY)
+        .withColumn("bucket", _bucket_of(F.col("subj")))
     )
-    if os.path.exists(os.path.join(edges_path, "_SUCCESS")):
-        existing = spark.read.parquet(edges_path)
-        merged = existing.unionByName(new_edges).dropDuplicates(
-            ["subj", "pred", "obj", "context"]
+    # Materialize once: consumed for the touched-bucket set AND the merge.
+    new_edges = new_edges.localCheckpoint(eager=True)
+    touched = [r.bucket for r in new_edges.select("bucket").distinct().collect()]
+    if not touched:
+        return
+
+    if _snapshot_exists(spark, edges_path):
+        existing = (
+            spark.read.parquet(edges_path)
+            .filter(F.col("bucket").isin(touched))  # partition-pruned scan
+            .select(*_MERGE_KEY, "bucket")
         )
+        merged = existing.unionByName(new_edges).dropDuplicates(_MERGE_KEY)
     else:
         merged = new_edges
-    # write-then-swap for idempotency under retries
-    tmp = edges_path + f"_epoch{epoch_id}"
-    merged.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(edges_path)
+    # Break the read→overwrite cycle on the snapshot files, then rewrite
+    # ONLY the partitions present in `merged` (the touched buckets).
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(edges_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def incremental_ingest(

@@ -78,6 +78,19 @@ def test_hot_key_skew_converges(spark):
     _check(spark, edges)
 
 
+def test_canonical_label_is_real_id(spark):
+    """An alias class may contain free-text mentions that sort before every
+    node id; the canonical label must still be a REAL id, else rewriting
+    maps node endpoints onto strings no node carries and the orphan clean
+    silently drops the entity's edges."""
+    alias = spark.createDataFrame(
+        [("aaa mention", "doc9"), ("aaa mention", "doc5")], ["src", "dst"]
+    )
+    ids = spark.createDataFrame([("doc5",), ("doc9",), ("zzz",)], ["id"])
+    got = {r.id: r.canonical_id for r in canonical_map(alias, ids).collect()}
+    assert got == {"doc5": "doc5", "doc9": "doc5", "zzz": "zzz"}
+
+
 def test_canonical_map_and_rewrite(spark):
     alias = spark.createDataFrame([("b", "a"), ("c", "b")], ["src", "dst"])
     ids = spark.createDataFrame([("a",), ("b",), ("c",), ("solo",)], ["id"])

@@ -48,6 +48,32 @@ def test_trigram_jaccard_order_sensitive(docs_df):
     assert (3, 4) not in pairs  # shuffled word order breaks 3-gram shingles
 
 
+def test_jaccard_hot_shingle_stays_linear(spark):
+    """A corpus-universal token must NOT make the candidate set quadratic:
+    the prefix filter excludes max-frequency shingles from the inverted
+    index for any doc with enough shingles, and the exact result is still
+    exactly the true-Jaccard pairs."""
+    n_docs = 200
+    rows = [(i, "the " + " ".join(f"u{i}t{j}" for j in range(9))) for i in range(n_docs)]
+    # one genuine near-dup pair (differ by 1 of 10 tokens -> J = 9/11 ≈ 0.818)
+    rows.append((n_docs, "the " + " ".join(f"u7t{j}" for j in range(8)) + " extra"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sh = df.select(
+        F.col("doc_id").alias("id"), dd._token_shingles("text", 1).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    n_cand = dd._jaccard_prefix_candidates(sh, 0.5).count()
+    # plain inverted index would produce C(201,2) = 20100 candidates via "the"
+    assert n_cand < n_docs, f"candidates {n_cand} not near-linear"
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.5).collect()
+    }
+    assert set(pairs) == {(7, n_docs)}
+    assert abs(pairs[(7, n_docs)] - 9 / 11) < 1e-9
+
+
 def test_minhash_recall_vs_exact(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     exact = {
@@ -66,6 +92,37 @@ def test_minhash_recall_vs_exact(spark):
     # approx must not fabricate pairs beyond its distance bound by much:
     # every returned pair must really have jaccard >= 0.85 (exact-verify)
     assert approx <= exact | approx  # structural sanity
+
+
+def test_minhash_native_dual_engine(docs_df):
+    """The md5-hash MinHash variant: every returned pair is exact-verified
+    (subset of true Jaccard pairs) and identical docs are always found
+    (identical min-hash in every table)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(docs_df, "doc_id", "text", n=1, threshold=0.5).collect()
+    }
+    native = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_pairs_native(docs_df, "doc_id", "text", n=1, threshold=0.5).collect()
+    }
+    assert set(native) <= exact
+    assert native[(0, 1)] == 1.0  # exact dups agree on every hash table
+    assert native[(3, 4)] == 1.0  # same token set, different order
+
+
+def test_simhash_md5_variant_agrees_on_dups(spark, docs_df):
+    """The dual-engine md5 token hash yields different signatures than
+    xxhash64 but the structural properties hold: identical/reordered token
+    sets collide at Hamming 0."""
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_pairs(
+            docs_df, "doc_id", "text", max_hamming=6, token_hash=dd.md5_hash64
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert pairs.get((3, 4)) == 0
 
 
 def test_simhash_finds_exact_and_near_dups(spark, docs_df):

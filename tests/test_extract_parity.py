@@ -71,12 +71,16 @@ def test_span_sequence_invariant(spark):
     from knowledge_nexus_spark.operators.graphops import freshness_dedup
 
     surviving = freshness_dedup(docs)
-    inp = {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
-           for r in docs.collect()}
+    inp: dict[str, list] = {}
+    for r in docs.collect():
+        inp.setdefault(r.doc_id, []).append(
+            [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        )
     for r in surviving.collect():
         got = [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
-        # must equal one of the input versions for that doc (the newest)
-        assert got == [(s[0], s[1], s[2], s[3]) for s in got] and r.doc_id in inp
+        # must exactly match the input span sequence of some version of
+        # this doc (freshness dedup picks among versions, never mutates)
+        assert r.doc_id in inp and got in inp[r.doc_id]
 
     # duplicate-handling: surviving row equals the newest local version
     local = generate_documents_local(CFG)
@@ -91,6 +95,43 @@ def test_span_sequence_invariant(spark):
         got = [(s.kind, s.text, s.media_ref, s.offset) for s in surv[did].spans]
         want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
         assert got == want, did
+
+
+def test_non_http_refs_bookmark_parity(spark):
+    """The reference bookmarks ANY non-uuid href/ref (mailto:, ftp:,
+    relative paths), not only http(s) — Spark and oracle must agree, and
+    the triples must survive the orphan clean in both."""
+    def span(kind, text=None, media_ref=None, offset=0):
+        return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+    rows = [
+        {
+            "doc_id": "d1", "title": "t1", "doc_kind": "page", "url": "",
+            "archived": False, "in_trash": False,
+            "last_edited_time": "2024-01-01T00:00:00.000001Z",
+            "spans": [
+                span("paragraph", "mail [me](mailto:x@example.org) now"),
+                span("bookmark", None, "ftp://files.example.org/a.txt", 1),
+                span("prop_url", "Home", "../relative/path", 2),
+                span("link_to_page", None, "not-a-uuid-target", 3),
+            ],
+        },
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    result = build_graph(spark, docs, PipelineConfig(render_content=False))
+    got = _triple_set(result.edges)
+    oracle = run_oracle(rows, OracleConfig())
+    assert got == oracle.triple_set
+    # non-http bookmark-able refs became nodes in both engines …
+    got_nodes = {(r.id, r.type) for r in result.nodes.select("id", "type").collect()}
+    want_nodes = {(p["id"], p["type"]) for p in oracle.pages.values()}
+    assert got_nodes == want_nodes
+    assert ("mailto:x@example.org", "Bookmark") in got_nodes
+    assert ("ftp://files.example.org/a.txt", "Bookmark") in got_nodes
+    assert ("../relative/path", "Bookmark") in got_nodes
+    # … but a link_to_page ref is NOT a bookmark (kind decides), so its
+    # triple is orphan-cleaned in both
+    assert not any(o == "not-a-uuid-target" for (_s, _p, o) in got)
 
 
 def test_skew_hot_key_orphan_clean_is_equivalent(spark):

@@ -41,6 +41,57 @@ def test_real_codecs_stub_raises(spark):
         decode_features(media_assets(docs), real_codecs=True).collect()
 
 
+def test_streaming_merge_is_partition_scoped(spark, tmp_path):
+    """A micro-batch must rewrite ONLY the snapshot partitions its own
+    subjects hash into — work per batch proportional to the batch, not to
+    the accumulated snapshot."""
+    import glob
+
+    from knowledge_nexus_spark.functions.extract import extract_triples_native
+    from knowledge_nexus_spark.operators.graphops import content_docs
+    from knowledge_nexus_spark.streaming.ingest import N_BUCKETS, merge_edges_batch
+
+    docs = generate_documents(spark, CFG)
+    edges_path = str(tmp_path / "edges")
+    merge_edges_batch(docs, 0, edges_path)  # seed a multi-bucket snapshot
+
+    def file_state():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(edges_path + "/bucket=*/*")
+            if p.endswith(".parquet")
+        }
+
+    def bucket_of(path):
+        return int(path.split("bucket=")[1].split("/")[0])
+
+    one = (
+        docs.filter(~F.col("archived") & ~F.col("in_trash"))
+        .orderBy("doc_id").limit(1).localCheckpoint(eager=True)
+    )
+    tris = extract_triples_native(content_docs(one))
+    touched = {
+        r.b
+        for r in tris.select(
+            F.pmod(F.xxhash64("subj"), F.lit(N_BUCKETS)).cast("int").alias("b")
+        ).distinct().collect()
+    }
+    assert touched, "chosen doc must emit triples"
+
+    before = file_state()
+    merge_edges_batch(one, 1, edges_path)
+    after = file_state()
+
+    changed = {
+        bucket_of(p)
+        for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    }
+    all_buckets = {bucket_of(p) for p in after}
+    assert changed == touched, f"rewrote {changed}, batch touches {touched}"
+    assert len(all_buckets) > len(touched), "snapshot must span more buckets"
+
+
 def test_incremental_ingest_matches_batch(spark, tmp_path):
     """Two document drops streamed in → edges snapshot equals one batch
     extraction over the union (idempotent MERGE semantics)."""

@@ -42,3 +42,39 @@ def test_linking_and_canonicalize_stages(spark, tmp_path):
         ~F.col("subj").isin(list(n_ids)) | ~F.col("obj").isin(list(n_ids))
     )
     assert bad.count() == 0
+
+
+def test_canonicalize_preserves_edges(spark, tmp_path):
+    """Closure alone is trivially satisfied by silent deletion; the rewrite
+    must actually PRESERVE the edge set: canonicalized core edges equal the
+    un-canonicalized core edges mapped through the same canonical map."""
+    from knowledge_nexus_spark.operators.components import canonical_map, rewrite_triples
+
+    docs = generate_documents(spark, CFG)
+    base_cfg = dict(with_chunks=False, with_linking=True, link_min_cosine=0.4)
+    _, nodes_off, edges_off, _ = run_pipeline(
+        spark, docs, str(tmp_path / "off"), PipelineConfig(canonicalize=False, **base_cfg)
+    )
+    ck, nodes_on, edges_on, _ = run_pipeline(
+        spark, docs, str(tmp_path / "on"), PipelineConfig(canonicalize=True, **base_cfg)
+    )
+
+    cfg_on = PipelineConfig(canonicalize=True, **base_cfg)
+    links = ck.load("s5_links")
+    alias = links.filter(F.col("cosine") >= cfg_on.alias_min_cosine).select(
+        F.col("mention").alias("src"), F.col("entity_id").alias("dst")
+    )
+    mapping = canonical_map(alias, nodes_on.select("id"))
+
+    core = ["CONTAINS", "REFERENCES"]
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in edges_on.filter(F.col("pred").isin(core)).collect()
+    }
+    want = {
+        (r.subj, r.pred, r.obj)
+        for r in rewrite_triples(
+            edges_off.filter(F.col("pred").isin(core)), mapping
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -31,10 +31,27 @@ def test_q6_pushdown_and_pruning(spark):
     assert "l_extendedprice" in read and "l_partkey" not in read
 
 
-def test_region_revenue_broadcasts_dims(spark):
-    plan = _plan(q_tpch_region_revenue(spark, SF))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan  # all dims small → no wide shuffle join
+def test_region_revenue_broadcasts_dims_not_facts(spark):
+    """Dims (customer/nation/region) are hint-broadcast; the orders FACT
+    table must not be — a pinned fact broadcast OOMs at 100× scale. At
+    test SF AQE may legitimately still pick broadcast for orders from
+    runtime stats, so the hint level is asserted on the analyzed logical
+    plan: every ResolvedHint subtree must be dim-only."""
+    df = q_tpch_region_revenue(spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # A ResolvedHint node's child is the next Relation below it; TPC-H
+    # column prefixes identify the table (c_/n_/r_ dims, l_/o_ facts).
+    import re
+    for block in logical.split("ResolvedHint")[1:]:
+        rel = re.search(r"Relation \[([a-z])_", block)
+        assert rel is not None
+        assert rel.group(1) in {"c", "n", "r"}, (
+            f"broadcast hint pinned on non-dim table prefix {rel.group(1)}_"
+        )
+    # and the dims really are hinted
+    assert logical.count("ResolvedHint") >= 3
 
 
 def test_q1_partial_aggregation(spark):

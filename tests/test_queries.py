@@ -60,3 +60,20 @@ def test_comention_strength(spark):
     )
     rows = comention_strength(edges, top_n=5).collect()
     assert (rows[0].e1, rows[0].e2, rows[0].strength) == ("a", "b", 2)
+
+
+def test_comention_hot_key_capped(spark):
+    """A hub subject with 10³ objects must not explode quadratically: the
+    per-key cap bounds its contribution at cap² pairs, and pairs among the
+    cap's retained (lexicographically first) objects are still counted."""
+    hub = [("hub", "M", f"e{i:04d}", None) for i in range(1000)]
+    small = [("s1", "M", "e0001", None), ("s1", "M", "e0002", None)]
+    edges = spark.createDataFrame(
+        hub + small, "subj string, pred string, obj string, context string"
+    )
+    rows = comention_strength(edges, top_n=3, per_key_cap=64).collect()
+    # (e0001, e0002) co-occur under both the hub (within cap) and s1
+    assert (rows[0].e1, rows[0].e2, rows[0].strength) == ("e0001", "e0002", 2)
+    # total pairs bounded by C(64,2) + 1 key's worth, nowhere near C(1000,2)
+    full = comention_strength(edges, top_n=10**9, per_key_cap=64).count()
+    assert full <= 64 * 63 // 2

@@ -79,7 +79,12 @@ def main() -> int:
         try:
             want = con.sql(osql[name])
             want_cols = [d[0] for d in want.description]
-            want_rows = want.fetchall()
+            # Fetch through Arrow, not fetchall(): Arrow surfaces type
+            # divergences (e.g. DuckDB sum(INTEGER) -> HUGEINT -> float64)
+            # that native-python fetch silently papers over, and it is the
+            # likeliest fetch path of the driver-side gate.
+            tbl = want.arrow()
+            want_rows = [tuple(d[c] for c in want_cols) for d in tbl.to_pylist()]
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"duckdb error: {ex}"))
             print(f"FAIL {name}: duckdb error: {ex}")
