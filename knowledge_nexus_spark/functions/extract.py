@@ -96,6 +96,25 @@ def extract_doc_triples(doc_id: str, spans: list | None) -> list[tuple]:
                 out.append((doc, REL_REFERENCES, ref, None))
         elif kind in _RICH_KINDS:
             _link_triples(doc, text, None, out)
+        elif kind == "rich_runs":
+            # P5 annotated runs: links come from run hrefs, context is the
+            # annotation-free plain concat (notion_provider.py:51-52 passes
+            # the plain rich-text as relation context)
+            import json
+
+            from knowledge_nexus_spark.functions.render import runs_plain_py
+
+            try:
+                runs = json.loads(text) if text else []
+            except ValueError:
+                runs = []
+            plain = runs_plain_py(runs)
+            for rt in runs:
+                href = rt.get("href")
+                if not href:
+                    continue
+                uuid = href_uuid(href)
+                out.append((doc, REL_REFERENCES, uuid if uuid else href, plain))
         elif kind == "prop_relation":
             if ref:
                 out.append((doc, REL_REFERENCES, norm_uuid(ref),
@@ -130,6 +149,32 @@ def extract_triples(documents: DataFrame) -> DataFrame:
             )
 
     return documents.select("doc_id", "spans").mapInPandas(gen, schema=TRIPLES_SCHEMA)
+
+
+def _run_triples_expr(text):
+    """REFERENCES triples of one rich_runs span (native): from_json the
+    runs, objects from hrefs (uuid-normalized), context = plain concat."""
+    from knowledge_nexus_spark.functions.render import RUNS_DDL
+
+    href_uuid_re = (
+        r"^(?:https://www\.notion\.so)?/(?:[a-zA-Z0-9-]+/)?(?:[a-zA-Z0-9-]+-)?(" + _UUID_BODY + r")"
+    )
+    runs = F.coalesce(F.from_json(text, RUNS_DDL), F.expr(f"CAST(array() AS {RUNS_DDL})"))
+    plain = F.concat_ws("", F.transform(runs, lambda r: F.coalesce(r["plain_text"], F.lit(""))))
+
+    def link_obj(href):
+        uuid = F.regexp_extract(href, href_uuid_re, 1)
+        return F.when(uuid != "", F.regexp_replace(uuid, "-", "")).otherwise(href)
+
+    linked = F.filter(runs, lambda r: r["href"].isNotNull() & (r["href"] != ""))
+    return F.transform(
+        linked,
+        lambda r: F.struct(
+            F.lit("REFERENCES").alias("pred"),
+            link_obj(r["href"]).alias("obj"),
+            plain.alias("context"),
+        ),
+    )
 
 
 def span_triples_expr(kind, text, ref):
@@ -178,6 +223,7 @@ def span_triples_expr(kind, text, ref):
             F.array(tri("REFERENCES", ref, no_ctx)),
         )
         .when(kind.isin(*RICH_TEXT_KINDS), rich_links(plain))
+        .when(kind == "rich_runs", _run_triples_expr(text))
         .when(
             (kind == "prop_relation") & ref.isNotNull(),
             F.array(
@@ -294,12 +340,22 @@ def doc_bookmark_urls_expr(spans_col):
     empty = F.array().cast("array<string>")
 
     def per_span(s):
+        from knowledge_nexus_spark.functions.render import RUNS_DDL
+
         kind = s["kind"]
         text = F.coalesce(s["text"], F.lit(""))
         ref = s["media_ref"]
         hrefs = F.regexp_extract_all(text, F.lit(md_link), 2)
         non_uuid_hrefs = F.filter(
             hrefs, lambda h: F.regexp_extract(h, href_uuid_re, 1) == ""
+        )
+        runs = F.coalesce(F.from_json(text, RUNS_DDL), F.expr(f"CAST(array() AS {RUNS_DDL})"))
+        run_hrefs = F.transform(
+            F.filter(runs, lambda r: r["href"].isNotNull() & (r["href"] != "")),
+            lambda r: r["href"],
+        )
+        non_uuid_run_hrefs = F.filter(
+            run_hrefs, lambda h: F.regexp_extract(h, href_uuid_re, 1) == ""
         )
         return (
             F.when(
@@ -313,6 +369,7 @@ def doc_bookmark_urls_expr(spans_col):
                 | (kind == "prop_title"),
                 non_uuid_hrefs,
             )
+            .when(kind == "rich_runs", non_uuid_run_hrefs)
             .otherwise(empty)
         )
 

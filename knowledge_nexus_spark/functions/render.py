@@ -51,12 +51,93 @@ def _format_date(value: str) -> str:
         return value
 
 
+# P5: annotated rich-text runs. A span of kind "rich_runs" carries a JSON
+# array of runs in `text` — the fixed input_hint span schema is preserved
+# (kind, text, media_ref, offset) with the structure inside the text field.
+RUNS_DDL = (
+    "array<struct<plain_text:string,href:string,bold:boolean,italic:boolean,"
+    "code:boolean,strikethrough:boolean,underline:boolean,color:string>>"
+)
+
+
+def fold_runs_py(runs: list[dict] | None) -> str:
+    """Annotation fold, exactly the reference's `_extract_rich_text`
+    (to_markdown_parser.py:353-379): wrap order code → bold → italic →
+    strikethrough → underline, then the link, then the color span (with
+    `_background` stripped); runs concatenate in order."""
+    out = ""
+    for rt in runs or []:
+        content = rt.get("plain_text") or ""
+        if rt.get("code"):
+            content = f"`{content}`"
+        if rt.get("bold"):
+            content = f"**{content}**"
+        if rt.get("italic"):
+            content = f"*{content}*"
+        if rt.get("strikethrough"):
+            content = f"~~{content}~~"
+        if rt.get("underline"):
+            content = f"<u>{content}</u>"
+        if rt.get("href"):
+            content = f"[{content}]({rt['href']})"
+        color = rt.get("color")
+        if color and color != "default":
+            content = f'<span style="color: {color.replace("_background", "")}">{content}</span>'
+        out += content
+    return out
+
+
+def runs_plain_py(runs: list[dict] | None) -> str:
+    """Annotation-free concat (notion_provider.py:51-52) — the context/
+    triple side of a rich_runs span."""
+    return "".join((rt.get("plain_text") or "") for rt in runs or [])
+
+
+def fold_runs_expr(text_col):
+    """`fold_runs_py` as one native expression: from_json → per-run CASE
+    wraps → concat_ws. Exact parity with the pandas fold is test-pinned."""
+    runs = F.from_json(text_col, RUNS_DDL)
+
+    def flag(r, name):
+        return F.coalesce(r[name], F.lit(False))
+
+    def fold(r):
+        content = F.coalesce(r["plain_text"], F.lit(""))
+        content = F.when(flag(r, "code"), F.concat(F.lit("`"), content, F.lit("`"))).otherwise(content)
+        content = F.when(flag(r, "bold"), F.concat(F.lit("**"), content, F.lit("**"))).otherwise(content)
+        content = F.when(flag(r, "italic"), F.concat(F.lit("*"), content, F.lit("*"))).otherwise(content)
+        content = F.when(flag(r, "strikethrough"), F.concat(F.lit("~~"), content, F.lit("~~"))).otherwise(content)
+        content = F.when(flag(r, "underline"), F.concat(F.lit("<u>"), content, F.lit("</u>"))).otherwise(content)
+        content = F.when(
+            r["href"].isNotNull() & (r["href"] != ""),
+            F.concat(F.lit("["), content, F.lit("]("), r["href"], F.lit(")")),
+        ).otherwise(content)
+        return F.when(
+            r["color"].isNotNull() & (r["color"] != "") & (r["color"] != "default"),
+            F.concat(
+                F.lit('<span style="color: '),
+                F.regexp_replace(r["color"], "_background", ""),
+                F.lit('">'), content, F.lit("</span>"),
+            ),
+        ).otherwise(content)
+
+    return F.concat_ws("", F.transform(F.coalesce(runs, F.array().cast(RUNS_DDL)), fold))
+
+
 def _render_block(kind: str, text: str, media_ref: str, offset: int) -> str:
     """One span → markdown fragment (to_markdown_parser.py block handlers)."""
     indent = INDENT * (offset or 0)
     text = text or ""
     if kind == "paragraph":
         return f"{indent}{text}\n\n"
+    if kind == "rich_runs":
+        import json
+
+        try:
+            runs = json.loads(text) if text else []
+        except ValueError:
+            runs = []
+        return f"{indent}{fold_runs_py(runs)}\n\n"
     if kind in ("heading_1", "heading_2", "heading_3"):
         level = int(kind[-1])
         return f"{indent}{'#' * level} {text}\n\n"
@@ -227,6 +308,7 @@ def render_spans_native(spans_col):
         cap_sfx = F.when(txt(s) != "", F.concat(F.lit(" - "), txt(s))).otherwise(F.lit(""))
         return (
             F.when(k == "paragraph", F.concat(ind(s), txt(s), F.lit("\n\n")))
+            .when(k == "rich_runs", F.concat(ind(s), fold_runs_expr(txt(s)), F.lit("\n\n")))
             .when(
                 k.isin("heading_1", "heading_2", "heading_3"),
                 F.concat(ind(s), F.repeat(F.lit("#"), F.substring(k, -1, 1).cast("int")),

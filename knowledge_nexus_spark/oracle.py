@@ -173,6 +173,27 @@ def run_oracle(corpus_rows: list[dict], cfg: OracleConfig | None = None) -> Orac
                 add_bookmark(ref)
             elif kind in RICH:
                 emit_rich(did, text)
+            elif kind == "rich_runs":
+                # P5 annotated runs: objects from run hrefs, context = the
+                # annotation-free plain concat; non-uuid hrefs bookmark
+                # (same rule as emit_rich's else branch)
+                import json as _json
+
+                try:
+                    runs = _json.loads(text) if text else []
+                except ValueError:
+                    runs = []
+                plain = "".join((rt.get("plain_text") or "") for rt in runs)
+                for rt in runs:
+                    href = rt.get("href")
+                    if not href:
+                        continue
+                    uid = _uuid_of(href)
+                    if uid:
+                        emit(did, "REFERENCES", uid, plain)
+                    else:
+                        emit(did, "REFERENCES", href, plain)
+                        add_bookmark(href)
             elif kind == "prop_relation" and ref:
                 emit(did, "REFERENCES", ref, f"Relation property **{text or 'Relation'}**")
             elif kind == "prop_url" and ref:
@@ -221,6 +242,18 @@ def _link_targets(row: dict, follow_references: bool) -> set:
         elif kind in RICH or kind in ("prop_rich_text", "prop_title"):
             for m in _LINK.finditer(text):
                 uid = _uuid_of(m.group("href"))
+                if uid:
+                    out.add(uid)
+        elif kind == "rich_runs":
+            import json as _json
+
+            try:
+                runs = _json.loads(text) if text else []
+            except ValueError:
+                runs = []
+            for rt in runs:
+                href = rt.get("href")
+                uid = _uuid_of(href) if href else None
                 if uid:
                     out.add(uid)
     return out

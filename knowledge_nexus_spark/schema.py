@@ -105,6 +105,10 @@ URL_KINDS = ["bookmark", "embed", "link_preview"]
 CHILD_KINDS = ["child_page", "child_database"]
 MEDIA_KINDS = ["image", "video", "audio", "file", "pdf"]
 STRUCT_KINDS = ["divider", "table_of_contents", "breadcrumb", "equation"]
+# P5 annotated rich-text: structured runs JSON carried in the span's text
+# field (to_markdown_parser.py:353-379 annotation fold)
+RUNS_KIND = "rich_runs"
 ALL_KINDS = (
-    RICH_TEXT_KINDS + URL_KINDS + CHILD_KINDS + MEDIA_KINDS + STRUCT_KINDS + ["link_to_page"]
+    RICH_TEXT_KINDS + URL_KINDS + CHILD_KINDS + MEDIA_KINDS + STRUCT_KINDS
+    + ["link_to_page", RUNS_KIND]
 )

@@ -52,6 +52,24 @@ def overwrite_page_chunks(existing: DataFrame | None, new_chunks: DataFrame) -> 
     return kept.unionByName(new_chunks)
 
 
+def destructive_reset(spark, *table_paths: str) -> int:
+    """S13 — the reference's `MATCH (n) DETACH DELETE n` wipe
+    (neo4j_manager.py:147-150): drop every given graph table directory.
+    Hadoop FS API so it works on any scheme (file, hdfs, s3a). Returns the
+    number of paths that existed and were removed. In production this is
+    `DROP TABLE` / `TRUNCATE` on the Iceberg catalog."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    removed = 0
+    for path in table_paths:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed += 1
+    return removed
+
+
 def merge_edges(existing: DataFrame | None, new_edges: DataFrame) -> DataFrame:
     """Cypher-MERGE-equivalent edge upsert: distinct on the full pattern
     key incl. context (NULL stored as '')."""

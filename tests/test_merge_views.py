@@ -63,3 +63,18 @@ def test_sql_views(spark):
     assert [(r.title, r.pred) for r in out] == [("A", "CONTAINS")]
     adj = spark.sql("SELECT * FROM adjacency").collect()
     assert adj[0].id == "a" and adj[0].out_edges[0].obj == "b"
+
+
+def test_destructive_reset(spark, tmp_path):
+    from knowledge_nexus_spark.storage.merge import destructive_reset
+
+    nodes_p, edges_p = str(tmp_path / "nodes"), str(tmp_path / "edges")
+    spark.range(3).write.parquet(nodes_p)
+    spark.range(3).write.parquet(edges_p)
+    removed = destructive_reset(spark, nodes_p, edges_p, str(tmp_path / "absent"))
+    assert removed == 2
+    import os
+
+    assert not os.path.exists(nodes_p) and not os.path.exists(edges_p)
+    # idempotent: second wipe removes nothing, raises nothing
+    assert destructive_reset(spark, nodes_p, edges_p) == 0

@@ -107,3 +107,79 @@ def test_native_render_equals_python_render(spark):
 def test_date_passthrough_on_bad_value():
     out = render_spans_py([sp("prop_date", "When", "not-a-date")])
     assert "**When**: not-a-date\n" in out
+
+
+def test_rich_runs_annotation_fold_goldens():
+    """P5 fold semantics pinned to the reference's _extract_rich_text
+    (to_markdown_parser.py:353-379): wrap order code→bold→italic→strike→
+    underline, then link, then color span with _background stripped."""
+    from knowledge_nexus_spark.functions.render import fold_runs_py
+
+    assert fold_runs_py([{"plain_text": "x", "code": True}]) == "`x`"
+    assert fold_runs_py([{"plain_text": "x", "bold": True}]) == "**x**"
+    assert fold_runs_py([{"plain_text": "x", "italic": True}]) == "*x*"
+    assert fold_runs_py([{"plain_text": "x", "strikethrough": True}]) == "~~x~~"
+    assert fold_runs_py([{"plain_text": "x", "underline": True}]) == "<u>x</u>"
+    # nesting order: bold applied before italic → italic wraps outside
+    assert fold_runs_py([{"plain_text": "x", "bold": True, "italic": True}]) == "***x***"
+    assert (
+        fold_runs_py([{"plain_text": "x", "code": True, "bold": True}]) == "**`x`**"
+    )
+    # link wraps the annotated content
+    assert (
+        fold_runs_py([{"plain_text": "x", "bold": True, "href": "https://e.x"}])
+        == "[**x**](https://e.x)"
+    )
+    # color span outermost; '_background' suffix stripped
+    assert (
+        fold_runs_py([{"plain_text": "x", "color": "blue_background"}])
+        == '<span style="color: blue">x</span>'
+    )
+    assert fold_runs_py([{"plain_text": "x", "color": "default"}]) == "x"
+    # runs concatenate in order
+    assert (
+        fold_runs_py([{"plain_text": "a", "bold": True}, {"plain_text": "b"}])
+        == "**a**b"
+    )
+
+
+def test_rich_runs_native_fold_matches_python(spark):
+    """The from_json native fold and the pandas fold are byte-identical,
+    including inside the full-document render of both variants."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from knowledge_nexus_spark.functions.render import (
+        fold_runs_expr,
+        fold_runs_py,
+        render_spans,
+        render_spans_native,
+    )
+
+    cases = [
+        [{"plain_text": "x", "code": True, "bold": True, "italic": True,
+          "strikethrough": True, "underline": True, "href": "https://e.x/1",
+          "color": "red_background"}],
+        [{"plain_text": "a"}, {"plain_text": "b", "bold": True},
+         {"plain_text": "c", "href": "/page-0123456789abcdef0123456789abcdef"}],
+        [{"plain_text": None, "bold": True}],
+        [],
+    ]
+    rows = [(json.dumps(c, sort_keys=True),) for c in cases]
+    df = spark.createDataFrame(rows, ["runs_json"])
+    native = [r.f for r in df.select(fold_runs_expr(F.col("runs_json")).alias("f")).collect()]
+    py = [fold_runs_py(c) for c in cases]
+    assert native == py
+
+    spans_rows = [
+        [{"kind": "rich_runs", "text": rj, "media_ref": None, "offset": d}]
+        for d, (rj,) in enumerate(rows)
+    ]
+    sdf = spark.createDataFrame(
+        [(s,) for s in spans_rows],
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    a = [r.c for r in sdf.select(render_spans(F.col("spans")).alias("c")).collect()]
+    b = [r.c for r in sdf.select(render_spans_native(F.col("spans")).alias("c")).collect()]
+    assert a == b
