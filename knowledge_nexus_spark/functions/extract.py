@@ -46,6 +46,8 @@ DASHED_UUID_RE = re.compile(r"^\w{8}-\w{4}-\w{4}-\w{4}-\w{12}$")
 
 _RICH_KINDS = set(RICH_TEXT_KINDS)
 
+TRIPLE_ARRAY_DDL = "array<struct<pred:string,obj:string,context:string,bm:boolean>>"
+
 
 def norm_uuid(value: str) -> str:
     """Strip dashes iff the value is a dashed uuid (notion_provider.py:36-37)."""
@@ -173,14 +175,21 @@ def _run_triples_expr(text):
             F.lit("REFERENCES").alias("pred"),
             link_obj(r["href"]).alias("obj"),
             plain.alias("context"),
+            (F.regexp_extract(r["href"], href_uuid_re, 1) == "").alias("bm"),
         ),
     )
 
 
 def span_triples_expr(kind, text, ref):
-    """ARRAY<STRUCT<pred,obj,context>> emitted by ONE span — pure native
+    """ARRAY<STRUCT<pred,obj,context,bm>> emitted by ONE span — pure native
     CASE expression over (kind, text, media_ref) columns, shared by the
-    exploded extractor and the single-pass per-document flattened form."""
+    exploded extractor and the single-pass per-document flattened form.
+
+    ``bm`` marks objects that also synthesize a Bookmark node (URLISH /
+    prop_url refs, non-uuid rich hrefs — the reference's add-bookmark call
+    sites). Carrying the flag here lets the single-pass pipeline derive
+    bookmark urls from the SAME extraction pass instead of re-running the
+    span regexes a second time; public extractors drop the column."""
     md_link = r"\[([^\]]*)\]\(([^)]+)\)"
     href_uuid_re = (
         r"^(?:https://www\.notion\.so)?/(?:[a-zA-Z0-9-]+/)?(?:[a-zA-Z0-9-]+-)?(" + _UUID_BODY + r")"
@@ -194,9 +203,11 @@ def span_triples_expr(kind, text, ref):
         uuid = F.regexp_extract(href, href_uuid_re, 1)
         return F.when(uuid != "", F.regexp_replace(uuid, "-", "")).otherwise(href)
 
-    def tri(pred, obj, ctx):
+    def tri(pred, obj, ctx, bm=False):
+        bm_col = bm if not isinstance(bm, bool) else F.lit(bm)
         return F.struct(
-            F.lit(pred).alias("pred"), obj.alias("obj"), ctx.alias("context")
+            F.lit(pred).alias("pred"), obj.alias("obj"), ctx.alias("context"),
+            bm_col.alias("bm"),
         )
 
     no_ctx = F.lit(None).cast("string")
@@ -204,11 +215,13 @@ def span_triples_expr(kind, text, ref):
     plain = F.regexp_replace(text, md_link, "$1")
 
     def rich_links(ctx):
-        return F.transform(hrefs, lambda h: tri("REFERENCES", link_obj(h), ctx))
+        return F.transform(
+            hrefs,
+            lambda h: tri("REFERENCES", link_obj(h), ctx,
+                          F.regexp_extract(h, href_uuid_re, 1) == ""),
+        )
 
-    empty = F.array().cast(
-        "array<struct<pred:string,obj:string,context:string>>"
-    )
+    empty = F.array().cast(TRIPLE_ARRAY_DDL)
     return (
         F.when(
             kind.isin("child_page", "child_database") & ref.isNotNull(),
@@ -220,7 +233,7 @@ def span_triples_expr(kind, text, ref):
         )
         .when(
             kind.isin("bookmark", "embed", "link_preview") & ref.isNotNull(),
-            F.array(tri("REFERENCES", ref, no_ctx)),
+            F.array(tri("REFERENCES", ref, no_ctx, True)),
         )
         .when(kind.isin(*RICH_TEXT_KINDS), rich_links(plain))
         .when(kind == "rich_runs", _run_triples_expr(text))
@@ -249,6 +262,7 @@ def span_triples_expr(kind, text, ref):
                         F.coalesce(F.nullif(text, F.lit("")), F.lit("URL")),
                         F.lit("**"),
                     ),
+                    True,
                 )
             ),
         )

@@ -422,23 +422,31 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Cosine near-dup pairs: multiple independent hyperplane-signature
     bands block candidates; exact native cosine verifies. Recall grows with
-    ``bands``; bucket sizes shrink with ``band_planes``."""
-    banded = _banded(df, id_col, vec_col, dim, bands, band_planes, seed)
+    ``bands``; bucket sizes shrink with ``band_planes``.
+
+    Shuffle-width note: the banded explode and band self-join carry ONLY
+    (id, band, key) — ids, not vectors. Vectors re-join once per side
+    AFTER the candidate dedup, so the bands×rows explosion and the bucket
+    shuffle move ~16 bytes/row instead of the full embedding (a 3072-dim
+    float vector would otherwise be shuffled `bands` times per row)."""
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    banded = _banded(keyed, "id", "vec", dim, bands, band_planes, seed).select(
+        "id", "band", "key"
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = keyed.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = keyed.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
     return (
-        cand.withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )

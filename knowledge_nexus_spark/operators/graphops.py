@@ -28,20 +28,32 @@ def _freshness_window(documents: DataFrame) -> DataFrame:
     # winner across runs/partitionings (which one wins is implementation-
     # defined — the oracle's strictly-newer-wins keeps its first-encountered
     # row and the corpus generator never emits equal timestamps).
-    w = (
+    #
+    # The hash is evaluated ONLY for rows whose (doc_id, raw ts) actually
+    # ties — a peers-frame count over the same doc_id exchange finds them.
+    # Hashing the wide spans payload unconditionally measured ~13% of the
+    # whole pipeline wall; ties are ~0 rows, so the guard removes the cost.
+    order = [
+        F.to_timestamp(
+            F.col("last_edited_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"
+        ).desc_nulls_last(),
+        F.col("last_edited_time").desc_nulls_last(),
+    ]
+    w_peers = (
         Window.partitionBy("doc_id")
-        .orderBy(
-            F.to_timestamp(
-                F.col("last_edited_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"
-            ).desc_nulls_last(),
-            F.col("last_edited_time").desc_nulls_last(),
-            F.xxhash64(F.col("title"), F.col("spans")).desc(),
-        )
+        .orderBy(*order)
+        .rangeBetween(Window.currentRow, Window.currentRow)
     )
+    tied = documents.withColumn("_nver", F.count(F.lit(1)).over(w_peers))
+    tiebreak = (
+        F.when(F.col("_nver") > 1, F.xxhash64(F.col("title"), F.col("spans")))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(*order, tiebreak.desc())
     return (
-        documents.withColumn("_rn", F.row_number().over(w))
+        tied.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_nver")
     )
 
 
@@ -70,6 +82,33 @@ def freshness_dedup(documents: DataFrame, few_dups: bool = False) -> DataFrame:
     singles = documents.join(F.broadcast(dup_ids), "doc_id", "left_anti")
     dups = documents.join(F.broadcast(dup_ids), "doc_id", "left_semi")
     return singles.unionByName(_freshness_window(dups))
+
+
+def cap_group_size(
+    df: DataFrame, key_col: str, order_col: str, cap: int
+) -> DataFrame:
+    """Deterministically keep at most ``cap`` rows per key (first by
+    ``order_col``) WITHOUT sorting the whole input: a narrow count
+    aggregation finds the (by definition few) keys over the cap, those
+    keys' rows are broadcast-split out and ranked, everything else passes
+    through untouched. When no key exceeds the cap — the common case —
+    the output equals the input and the only added work is the narrow
+    count. Semantically identical to a global row_number ≤ cap filter."""
+    hot = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(key_col)
+    )
+    cold = df.join(F.broadcast(hot), key_col, "left_anti")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    capped_hot = (
+        df.join(F.broadcast(hot), key_col, "left_semi")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    return cold.unionByName(capped_hot)
 
 
 def page_nodes(

@@ -33,8 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from knowledge_nexus_spark.functions.extract import (
+    TRIPLE_ARRAY_DDL,
     bookmark_nodes,
-    doc_bookmark_urls_expr,
     doc_triples_expr,
     normalize_uuid_col,
 )
@@ -79,13 +79,14 @@ def _extract_changed(changed: DataFrame, cfg: PipelineConfig):
     fused single-pass projection as pipeline.build_graph: spans scanned
     once, then dropped."""
     processed_pred = ~F.col("archived") & ~F.col("in_trash")
-    empty_tris = F.array().cast("array<struct<pred:string,obj:string,context:string>>")
-    empty_urls = F.array().cast("array<string>")
+    empty_tris = F.array().cast(TRIPLE_ARRAY_DDL)
     content_expr = (
         F.when(processed_pred, render_spans_native(F.col("spans")))
         if cfg.render_content
         else F.lit(None).cast("string")
     )
+    # bookmark urls ride inside the triple array's `bm` flag — one
+    # extraction pass serves edges + bookmarks (see pipeline.build_graph)
     combined = changed.select(
         "doc_id", "title", "doc_kind", "url", "archived", "in_trash",
         "last_edited_time",
@@ -93,9 +94,6 @@ def _extract_changed(changed: DataFrame, cfg: PipelineConfig):
         F.when(processed_pred, doc_triples_expr(F.col("spans")))
         .otherwise(empty_tris)
         .alias("_tris"),
-        F.when(processed_pred, doc_bookmark_urls_expr(F.col("spans")))
-        .otherwise(empty_urls)
-        .alias("_burls"),
     )
     # localCheckpoint, NOT persist: the changed-detection lineage reads the
     # meta/ state path which this refresh later OVERWRITES — Spark's cache
@@ -114,17 +112,19 @@ def _extract_changed(changed: DataFrame, cfg: PipelineConfig):
         .select("id", "title", "type", "url", "content", "source", "last_edited_time")
     )
 
-    triples = (
-        combined.select(
-            normalize_uuid_col(F.col("doc_id")).alias("subj"),
-            F.explode("_tris").alias("t"),
-        )
-        .select("subj", "t.pred", "t.obj", "t.context")
-        .withColumn("bucket", _bucket_of(F.col("subj")))
+    exploded = combined.select(
+        "doc_id",
+        normalize_uuid_col(F.col("doc_id")).alias("subj"),
+        F.explode("_tris").alias("t"),
     )
-    burls = combined.select(
-        "doc_id", F.explode("_burls").alias("url")
-    ).dropDuplicates(["doc_id", "url"])
+    triples = exploded.select("subj", "t.pred", "t.obj", "t.context").withColumn(
+        "bucket", _bucket_of(F.col("subj"))
+    )
+    burls = (
+        exploded.filter(F.col("t.bm"))
+        .select("doc_id", F.col("t.obj").alias("url"))
+        .dropDuplicates(["doc_id", "url"])
+    )
     return combined, meta, nodes, triples, burls
 
 

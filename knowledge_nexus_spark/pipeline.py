@@ -109,20 +109,20 @@ def build_graph(
         # vs running a render branch and an extract branch separately.
         processed_pred = ~F.col("archived") & ~F.col("in_trash")
         from knowledge_nexus_spark.functions.extract import (
-            doc_bookmark_urls_expr,
+            TRIPLE_ARRAY_DDL,
             doc_triples_expr,
             normalize_uuid_col,
         )
 
-        empty_tris = F.array().cast(
-            "array<struct<pred:string,obj:string,context:string>>"
-        )
-        empty_urls = F.array().cast("array<string>")
+        empty_tris = F.array().cast(TRIPLE_ARRAY_DDL)
         content_expr = (
             F.when(processed_pred, render_spans_native(F.col("spans")))
             if cfg.render_content
             else F.lit(None).cast("string")
         )
+        # bookmark urls ride INSIDE the triple array (the `bm` flag) — one
+        # extraction pass serves both the edges and the bookmark branch; a
+        # separate bookmark-url projection would re-run the span regexes.
         combined = (
             freshness_dedup(documents, few_dups=cfg.dedup_few_dups)
             .select(
@@ -132,9 +132,6 @@ def build_graph(
                 F.when(processed_pred, doc_triples_expr(F.col("spans")))
                 .otherwise(empty_tris)
                 .alias("_tris"),
-                F.when(processed_pred, doc_bookmark_urls_expr(F.col("spans")))
-                .otherwise(empty_urls)
-                .alias("_burls"),
             )
         )
         if cfg.persist_intermediate:
@@ -162,11 +159,14 @@ def build_graph(
             F.lit("Notion").alias("source"),
             "last_edited_time",
         )
-        triples_raw = combined.select(
+        exploded = combined.select(
             normalize_uuid_col(F.col("doc_id")).alias("subj"),
             F.explode("_tris").alias("t"),
-        ).select("subj", "t.pred", "t.obj", "t.context")
-        burl_frame = combined.select(F.explode("_burls").alias("id")).distinct()
+        )
+        triples_raw = exploded.select("subj", "t.pred", "t.obj", "t.context")
+        burl_frame = (
+            exploded.filter(F.col("t.bm")).select(F.col("t.obj").alias("id")).distinct()
+        )
     else:
         # legacy two-branch plan (the Arrow/pandas spec implementations)
         docs = freshness_dedup(documents).persist(StorageLevel.MEMORY_AND_DISK)

@@ -128,11 +128,12 @@ def q_kg_comention(spark, sf_dir):
     id, deterministic) participate in pairing; the oracle applies the same
     rule. TPC-H orders have ≤7 lineitems, so results are identical at
     every sf, while a pathological hub key is bounded at CAP² pairs."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-    li = li.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= COMENTION_CAP
-    ).drop("rk")
+    from knowledge_nexus_spark.operators.graphops import cap_group_size
+
+    li = cap_group_size(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", COMENTION_CAP,
+    )
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(b, "l_orderkey")
@@ -326,6 +327,47 @@ def sql_dedup_simhash():
            CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """G3 through the driver gate: near-dup pairs (exact unigram Jaccard ≥
+    0.8, deterministic) → salted iterative connected components → one
+    canonical doc per cluster (identity outside any cluster). The DuckDB
+    oracle computes the same closure with a recursive CTE — exact match,
+    so the CC operator itself is value-hash-verified, not just pytest'd."""
+    from knowledge_nexus_spark.operators.components import canonical_map
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    alias_edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    mapping = canonical_map(alias_edges, docs.select(F.col("doc_id").alias("id")))
+    return mapping.select(F.col("id").alias("doc_id"), "canonical_id")
+
+
+def sql_dedup_clusters():
+    return """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t FROM documents),
+    sizes AS (SELECT doc_id, len(t) AS s FROM toks),
+    inv AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT ia, ib FROM inter
+      JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+      WHERE CAST(c AS DOUBLE) / (sa.s + sb.s - c) >= 0.8),
+    sym AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS canonical_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
     """
 
 
@@ -684,6 +726,28 @@ def sql_events_sessionize():
     """
 
 
+def q_events_session_window(spark, sf_dir):
+    """Sessionization via the built-in session_window dynamic-gap window
+    (the streaming-capable form; streaming/sessions.py). Gap semantics:
+    an event exactly `gap` after the previous one opens a NEW session
+    (strict window-merge), hence the oracle's >= 1800."""
+    from knowledge_nexus_spark.streaming.sessions import user_session_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return user_session_counts(ev, 1800)
+
+
+def sql_events_session_window():
+    return """
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events) GROUP BY user_id
+    """
+
+
 # ----------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -699,6 +763,7 @@ QUERIES = {
     "dedup_token_jaccard": q_dedup_token_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_topk": q_ann_topk,
@@ -713,6 +778,7 @@ QUERIES = {
     "kg_entity_groups": q_kg_entity_groups,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
 }
 
 ORACLE_SQL = {
@@ -732,6 +798,7 @@ ORACLE_SQL = {
     # rows-only driver check, recall pinned against exact variants in pytest
     "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
     "dedup_simhash": sql_dedup_simhash(),
+    "dedup_clusters": sql_dedup_clusters(),
     "dedup_embedding": sql_dedup_embedding(),
     "ann_topk": sql_ann_topk(),
     "text_stats": sql_text_stats(),
@@ -744,4 +811,5 @@ ORACLE_SQL = {
     "kg_entity_groups": sql_kg_entity_groups(),
     "events_windowed": sql_events_windowed(),
     "events_sessionize": sql_events_sessionize(),
+    "events_session_window": sql_events_session_window(),
 }

@@ -135,11 +135,11 @@ def comention_strength(
     the first N objects per subject (deterministic by id) before pairing —
     bounded at cap² pairs per key; typical contexts are far below the cap
     so results are unchanged."""
-    m = edges.select("subj", "obj").distinct()
-    w = Window.partitionBy("subj").orderBy("obj")
-    m = m.withColumn("_rk", F.row_number().over(w)).filter(
-        F.col("_rk") <= per_key_cap
-    ).drop("_rk")
+    from knowledge_nexus_spark.operators.graphops import cap_group_size
+
+    m = cap_group_size(
+        edges.select("subj", "obj").distinct(), "subj", "obj", per_key_cap
+    )
     a, b = m.alias("a"), m.alias("b")
     return (
         a.join(b, F.col("a.subj") == F.col("b.subj"))

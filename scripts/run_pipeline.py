@@ -34,12 +34,17 @@ def main() -> None:
     p.add_argument("--input", help="parquet dir of documents(doc_id, spans, ...)")
     p.add_argument("--generate", type=int, default=0,
                    help="instead of --input: generate a seeded corpus of N docs")
-    p.add_argument("--workdir", required=True, help="stage checkpoint directory")
+    p.add_argument("--workdir", default="/tmp/knx_workdir",
+                   help="stage checkpoint directory (batch mode)")
     p.add_argument("--with-chunks", action="store_true")
     p.add_argument("--with-linking", action="store_true")
     p.add_argument("--canonicalize", action="store_true")
     p.add_argument("--create-unprocessed", action="store_true")
     p.add_argument("--master", default=None, help="override (default: session env)")
+    p.add_argument("--refresh-state", default=None, metavar="DIR",
+                   help="incremental mode: diff the input snapshot against the "
+                        "state in DIR, re-extract only changed docs, merge "
+                        "(operators/refresh.py — refresh_updated_pages parity)")
     args = p.parse_args()
 
     from knowledge_nexus_spark.pipeline import PipelineConfig, run_pipeline
@@ -63,15 +68,28 @@ def main() -> None:
         create_unprocessed=args.create_unprocessed,
     )
     t0 = time.perf_counter()
-    ck, nodes, edges, chunks = run_pipeline(spark, docs, args.workdir, cfg)
-    summary = {
-        "wall_sec": round(time.perf_counter() - t0, 2),
-        "nodes": nodes.count(),
-        "edges": edges.count(),
-        "chunks": chunks.count() if chunks is not None else 0,
-        "stages": ck.metrics,
-        "workdir": args.workdir,
-    }
+    if args.refresh_state:
+        from knowledge_nexus_spark.operators.refresh import refresh_updated
+
+        res = refresh_updated(spark, docs, args.refresh_state, cfg)
+        summary = {
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "mode": "refresh",
+            "reextracted_docs": res.n_changed,
+            "nodes": res.nodes.count(),
+            "edges": res.edges.count(),
+            "state": args.refresh_state,
+        }
+    else:
+        ck, nodes, edges, chunks = run_pipeline(spark, docs, args.workdir, cfg)
+        summary = {
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "nodes": nodes.count(),
+            "edges": edges.count(),
+            "chunks": chunks.count() if chunks is not None else 0,
+            "stages": ck.metrics,
+            "workdir": args.workdir,
+        }
     print(json.dumps(summary))
     spark.stop()
 

@@ -71,6 +71,29 @@ def test_native_extraction_has_no_python(spark):
         assert marker not in plan, f"Python stage {marker} in the native extract plan"
 
 
+def test_freshness_tiebreak_deterministic_and_single_exchange(spark):
+    """Equal-timestamp versions pick a stable winner across orderings, and
+    the peers-count guard must not add a second shuffle."""
+    from knowledge_nexus_spark.operators.graphops import freshness_dedup
+
+    schema = (
+        "doc_id string, title string, doc_kind string, url string,"
+        " archived boolean, in_trash boolean, last_edited_time string,"
+        " spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    v = lambda t: ("d1", t, "page", "", False, False,  # noqa: E731
+                   "2024-01-01T00:00:00.000001Z",
+                   [{"kind": "paragraph", "text": t, "media_ref": None, "offset": 0}])
+    a = spark.createDataFrame([v("alpha"), v("beta")], schema)
+    b = spark.createDataFrame([v("beta"), v("alpha")], schema)
+    ra = freshness_dedup(a).collect()[0].title
+    rb = freshness_dedup(b).collect()[0].title
+    assert ra == rb  # same winner regardless of input order
+
+    plan = freshness_dedup(a)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_merge_sources_and_group_mentions(spark):
     a = spark.createDataFrame(
         [("d1", "t1", "page", "", False, False, "2024-01-01T00:00:00.000001Z", None)],

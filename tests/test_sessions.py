@@ -1,0 +1,102 @@
+"""Streaming sessionization: session_window batch equivalence with the
+lag()-based driver query, and the applyInPandasWithState stateful operator
+emitting closed sessions exactly once."""
+
+from pyspark.sql import functions as F
+
+from knowledge_nexus_spark.streaming.sessions import (
+    SESSION_GAP_SECONDS,
+    session_aggregate,
+    sessionize_stateful,
+    user_session_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_session_window_counts_match_lag_query(spark):
+    """The built-in session_window aggregation and the window-function
+    sessionize (driver query) agree on per-user session counts — gap
+    semantics differ only at measure-zero exact-gap ties, absent from the
+    microsecond-timestamped data."""
+    from knowledge_nexus_spark.plans.driver_queries import q_events_sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = {r.user_id: r.n_sessions for r in user_session_counts(ev).collect()}
+    want = {r.user_id: r.n_sessions for r in q_events_sessionize(spark, SF).collect()}
+    assert got == want
+
+
+def test_session_aggregate_shape(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    s = session_aggregate(ev)
+    rows = s.collect()
+    assert all(r.session_start <= r.session_end and r.n_events >= 1 for r in rows)
+    # sessions of one user never overlap (sorted, gap-separated)
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert (s2 - e1).total_seconds() >= SESSION_GAP_SECONDS
+
+
+def test_stateful_streaming_sessionize(spark, tmp_path):
+    """File-source stream + sentinel drop: every real session is emitted
+    exactly once and equals the batch session_aggregate result."""
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") < 8)
+        .localCheckpoint(eager=True)
+    )
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    ev.write.mode("overwrite").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+
+    # sentinel drop: one far-future event per user forces the previous
+    # open session closed on arrival (gap >> SESSION_GAP_SECONDS)
+    far = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
+        F.lit(0).cast("long").alias("event_id"),
+        (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        "user_id",
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast(ev.schema["props"].dataType).alias("props"),
+    )
+    far.select([f.name for f in ev.schema.fields]).write.mode("append").parquet(in_dir)
+    run_once()
+
+    # sentinel events form their own sessions; some are legitimately closed
+    # by the event-time timeout (per-user sentinels span a wide range, so
+    # older ones fall behind the global watermark) — exclude them from the
+    # comparison, they are not part of the real corpus
+    max_real = ev.agg(F.max("ts")).collect()[0][0].timestamp()
+    got = {
+        (r.user_id, round(r.session_start, 3), round(r.session_end, 3), r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.session_start <= max_real
+    }
+    want = {
+        (
+            r.user_id,
+            round(r.session_start.timestamp(), 3),
+            round(r.session_end.timestamp(), 3),
+            r.n_events,
+        )
+        for r in session_aggregate(ev).collect()
+    }
+    assert got == want and len(got) > 0
