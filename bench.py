@@ -7,13 +7,17 @@ corpus. Prints ONE JSON line:
 Extra keys: kg_triples, kg_triples_per_sec (the BASELINE.md north metric).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_KG_DOCS (default 20000).
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_KG_DOCS (default 20000),
+     SPARK_GRAFT_REPEATS (default 3 — per-query MEDIAN is reported; the
+     shared host shows +-25% single-shot noise, medians are the honest
+     capability number, same philosophy as bench_scaling.py).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -94,14 +98,19 @@ def main() -> None:
     _materialize(QUERIES["kg_pipeline_triples"](spark, sf_dir))
     _materialize(QUERIES["tpch_q1"](spark, sf_dir))
 
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        _materialize(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 3)
 
-    kg = run_kg_pipeline_bench(spark, kg_docs)
+    kg_runs = [run_kg_pipeline_bench(spark, kg_docs) for _ in range(repeats)]
+    kg = sorted(kg_runs, key=lambda r: r["wall_sec"])[len(kg_runs) // 2]
     times["kg_pipeline_spans"] = round(kg["wall_sec"], 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -118,6 +127,7 @@ def main() -> None:
         "kg_docs": kg_docs,
         "kg_triples": kg["triples"],
         "kg_triples_per_sec": round(kg["triples_per_sec"], 1),
+        "protocol": f"median-of-{repeats} per query",
         "cpus": cpus,
     }
     spark.stop()
