@@ -23,6 +23,12 @@ build_graph) → keyed delete+insert into state → derive the output graph
 (bookmark nodes from merged burls, orphan policy, distinct edges). The
 derived graph equals a full rebuild over the new corpus by construction;
 tests pin that equality and the exactly-K re-extraction count.
+
+Scope: covers the extract/render/merge stages the reference's
+refresh_updated_pages touches. Chunking re-runs per changed doc via the
+same state pattern if needed; entity linking / canonicalization are
+corpus-global by nature and rerun from the refreshed state through
+run_pipeline's stages 4-5 (their inputs are the merged nodes/triples).
 """
 
 from __future__ import annotations
