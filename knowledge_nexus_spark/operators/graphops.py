@@ -89,21 +89,27 @@ def cap_group_size(
 ) -> DataFrame:
     """Deterministically keep at most ``cap`` rows per key (first by
     ``order_col``) WITHOUT sorting the whole input: a narrow count
-    aggregation finds the (by definition few) keys over the cap, those
-    keys' rows are broadcast-split out and ranked, everything else passes
-    through untouched. When no key exceeds the cap — the common case —
-    the output equals the input and the only added work is the narrow
-    count. Semantically identical to a global row_number ≤ cap filter."""
+    aggregation finds the keys over the cap, those keys' rows are
+    split out and ranked, everything else passes through untouched. When
+    no key exceeds the cap — the common case — the output equals the input
+    and the only added work is the narrow count. Semantically identical to
+    a global row_number ≤ cap filter.
+
+    The hot-key frame is usually tiny, but on a dense corpus where MOST
+    keys exceed the cap it is ~n_keys rows — so no broadcast hint is
+    pinned here: AQE broadcasts it when its runtime size allows and falls
+    back to a shuffle join when it doesn't (a pinned broadcast would OOM
+    the driver in the dense case)."""
     hot = (
         df.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
         .select(key_col)
     )
-    cold = df.join(F.broadcast(hot), key_col, "left_anti")
+    cold = df.join(hot, key_col, "left_anti")
     w = Window.partitionBy(key_col).orderBy(order_col)
     capped_hot = (
-        df.join(F.broadcast(hot), key_col, "left_semi")
+        df.join(hot, key_col, "left_semi")
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= cap)
         .drop("_rk")

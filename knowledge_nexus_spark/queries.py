@@ -132,14 +132,20 @@ def comention_strength(
 
     Pair generation is quadratic per subject, so a hub subject with 10⁴
     objects would emit 10⁸ rows in one task. ``per_key_cap`` keeps only
-    the first N objects per subject (deterministic by id) before pairing —
+    the first N rows per subject (deterministic by obj) before pairing —
     bounded at cap² pairs per key; typical contexts are far below the cap
-    so results are unchanged."""
+    so results are unchanged.
+
+    Counting semantics: the input edge frame is the post-MERGE edge set,
+    already distinct on (subj, pred, obj, context) — the reference MERGEs
+    relationships keyed on {context} (neo4j_manager.py:234) and its
+    count(*) therefore counts each context-distinct parallel edge. The
+    (subj, obj) projection here is deliberately NOT deduplicated so a page
+    referencing the same entity in several contexts contributes that
+    multiplicity, exactly like the reference's path count."""
     from knowledge_nexus_spark.operators.graphops import cap_group_size
 
-    m = cap_group_size(
-        edges.select("subj", "obj").distinct(), "subj", "obj", per_key_cap
-    )
+    m = cap_group_size(edges.select("subj", "obj"), "subj", "obj", per_key_cap)
     a, b = m.alias("a"), m.alias("b")
     return (
         a.join(b, F.col("a.subj") == F.col("b.subj"))

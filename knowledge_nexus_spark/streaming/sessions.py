@@ -17,7 +17,11 @@ Two implementations, each the idiomatic Spark shape for its need:
   timeout: per-user open-session state, CLOSED sessions emitted exactly
   once when the watermark passes session_end + gap. This is the shape for
   per-session payloads a window aggregation cannot express (sequences,
-  custom reducers) — the "custom stateful operator" path.
+  custom reducers) — the "custom stateful operator" path. Gap semantics
+  match ``session_window`` exactly (a gap of EXACTLY ``gap`` seconds opens
+  a new session), and state updates are order-insensitive: a late event the
+  watermark legitimately admits merges via min(start)/max(last) instead of
+  regressing the stored session end.
 
 Scale: state is one tiny tuple per ACTIVE user (not per event); the
 shuffle key is user_id, so a hot user is one group — sessionization is
@@ -94,15 +98,30 @@ def _sessionize_fn(gap_seconds: int):
         else:
             start, last, n = None, None, 0
 
+        # Order-insensitive fold. The batch is sorted, but the OPEN-session
+        # state may be newer than a late event the watermark legitimately
+        # admits — `last` must never regress (it feeds the gap test AND the
+        # timeout), so late events merge via min(start)/max(last). Gap
+        # semantics are session_window's: >= gap opens a new session.
         closed = []
         for t in ts:
-            if last is not None and (t - last) > gap:
-                closed.append((start, last, n))
-                start, n = None, 0
+            t = float(t)
             if start is None:
-                start = float(t)
-            last = float(t)
-            n += 1
+                start, last, n = t, t, 1
+            elif t >= last:
+                if (t - last) >= gap:
+                    closed.append((start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            elif t >= start:
+                n += 1  # late event interior to the open session
+            elif (start - t) < gap:
+                start, n = t, n + 1  # late event extends the session backward
+            else:
+                # Predates the open session by >= gap: belongs to an older
+                # (possibly already-emitted) session — emit standalone.
+                closed.append((t, t, 1))
 
         state.update((float(start), float(last), int(n)))
         # event-time timeout: fire when the watermark passes last + gap

@@ -34,8 +34,12 @@ def main() -> None:
     p.add_argument("--input", help="parquet dir of documents(doc_id, spans, ...)")
     p.add_argument("--generate", type=int, default=0,
                    help="instead of --input: generate a seeded corpus of N docs")
-    p.add_argument("--workdir", default="/tmp/knx_workdir",
-                   help="stage checkpoint directory (batch mode)")
+    p.add_argument("--workdir", default=None,
+                   help="stage checkpoint directory (batch mode). Default: "
+                        "/tmp/knx_workdir_<fingerprint> derived from the input "
+                        "source and config flags, so a rerun against a "
+                        "DIFFERENT corpus or config never resumes another "
+                        "run's committed stage snapshots")
     p.add_argument("--with-chunks", action="store_true")
     p.add_argument("--with-linking", action="store_true")
     p.add_argument("--canonicalize", action="store_true")
@@ -67,6 +71,15 @@ def main() -> None:
         canonicalize=args.canonicalize,
         create_unprocessed=args.create_unprocessed,
     )
+    if args.workdir is None:
+        # Stage snapshots are keyed only by stage name inside the workdir,
+        # so the workdir itself must be unique per (input, config): fold
+        # both into the default path. An explicit --workdir overrides.
+        import hashlib
+
+        src = f"generate:{args.generate}" if args.generate else f"input:{args.input}"
+        sig = hashlib.md5(f"{src}|{cfg}".encode()).hexdigest()[:12]
+        args.workdir = f"/tmp/knx_workdir_{sig}"
     t0 = time.perf_counter()
     if args.refresh_state:
         from knowledge_nexus_spark.operators.refresh import refresh_updated

@@ -62,6 +62,21 @@ def test_comention_strength(spark):
     assert (rows[0].e1, rows[0].e2, rows[0].strength) == ("a", "b", 2)
 
 
+def test_comention_counts_context_distinct_parallel_edges(spark):
+    """The reference MERGEs relationships keyed on {context}
+    (neo4j_manager.py:234), so a page mentioning the same entity in two
+    contexts contributes 2 to every pair count — the (subj, obj)
+    projection must NOT be deduplicated."""
+    edges = spark.createDataFrame(
+        [("d1", "M", "a", "ctx1"), ("d1", "M", "a", "ctx2"),
+         ("d1", "M", "b", "ctx1"), ("d2", "M", "a", "x"), ("d2", "M", "b", "y")],
+        "subj string, pred string, obj string, context string",
+    )
+    rows = comention_strength(edges, top_n=5).collect()
+    # d1 pairs a twice with b (two a-contexts), d2 once → strength 3
+    assert (rows[0].e1, rows[0].e2, rows[0].strength) == ("a", "b", 3)
+
+
 def test_comention_hot_key_capped(spark):
     """A hub subject with 10³ objects must not explode quadratically: the
     per-key cap bounds its contribution at cap² pairs, and pairs among the

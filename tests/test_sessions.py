@@ -42,6 +42,75 @@ def test_session_aggregate_shape(spark):
             assert (s2 - e1).total_seconds() >= SESSION_GAP_SECONDS
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the fold."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _feed(fn, state, epochs):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime(epochs, unit="s")})
+    out = list(fn((1,), iter([pdf]), state))
+    return [tuple(r) for o in out for r in o.itertuples(index=False)]
+
+
+def test_stateful_late_event_does_not_regress_session_end():
+    """A late event the watermark admits must merge order-insensitively:
+    after [100, 200] then late 150, an event at 1960 (true gap 1760 < 1800)
+    must NOT close the session (the bug was last=150 → spurious close)."""
+    from knowledge_nexus_spark.streaming.sessions import _sessionize_fn
+
+    fn = _sessionize_fn(1800)
+    st = _FakeState()
+    assert _feed(fn, st, [100, 200]) == []
+    assert _feed(fn, st, [150, 1960]) == []  # no spurious close
+    assert st.get == (100.0, 1960.0, 4)
+
+
+def test_stateful_late_event_extends_backward_and_old_is_standalone():
+    from knowledge_nexus_spark.streaming.sessions import _sessionize_fn
+
+    fn = _sessionize_fn(1800)
+    st = _FakeState()
+    assert _feed(fn, st, [10000, 10100]) == []
+    # within gap before start → extends backward; ancient → standalone
+    assert _feed(fn, st, [500, 9000]) == [(1, 500.0, 500.0, 1)]
+    assert st.get == (9000.0, 10100.0, 3)
+
+
+def test_stateful_exact_gap_matches_session_window_semantics():
+    """session_window opens a new session at EXACTLY gap seconds — the
+    stateful operator must agree (>= gap, not > gap)."""
+    from knowledge_nexus_spark.streaming.sessions import _sessionize_fn
+
+    fn = _sessionize_fn(1800)
+    st = _FakeState()
+    assert _feed(fn, st, [0, 1800]) == [(1, 0.0, 0.0, 1)]
+    assert st.get == (1800.0, 1800.0, 1)
+
+
 def test_stateful_streaming_sessionize(spark, tmp_path):
     """File-source stream + sentinel drop: every real session is emitted
     exactly once and equals the batch session_aggregate result."""
