@@ -153,15 +153,15 @@ def extract_triples(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "spans").mapInPandas(gen, schema=TRIPLES_SCHEMA)
 
 
-def _run_triples_expr(text):
-    """REFERENCES triples of one rich_runs span (native): from_json the
-    runs, objects from hrefs (uuid-normalized), context = plain concat."""
+def _run_triples_arr_expr(runs_col):
+    """REFERENCES triples of one rich_runs span from an ALREADY-PARSED runs
+    array: objects from hrefs (uuid-normalized), context = plain concat."""
     from knowledge_nexus_spark.functions.render import RUNS_DDL
 
     href_uuid_re = (
         r"^(?:https://www\.notion\.so)?/(?:[a-zA-Z0-9-]+/)?(?:[a-zA-Z0-9-]+-)?(" + _UUID_BODY + r")"
     )
-    runs = F.coalesce(F.from_json(text, RUNS_DDL), F.expr(f"CAST(array() AS {RUNS_DDL})"))
+    runs = F.coalesce(runs_col, F.expr(f"CAST(array() AS {RUNS_DDL})"))
     plain = F.concat_ws("", F.transform(runs, lambda r: F.coalesce(r["plain_text"], F.lit(""))))
 
     def link_obj(href):
@@ -180,7 +180,15 @@ def _run_triples_expr(text):
     )
 
 
-def span_triples_expr(kind, text, ref):
+def _run_triples_expr(text):
+    """rich_runs triples from the raw JSON text (parses inline — the fused
+    pipeline passes pre-parsed runs via ``span_triples_expr(runs=...)``)."""
+    from knowledge_nexus_spark.functions.render import RUNS_DDL
+
+    return _run_triples_arr_expr(F.from_json(text, RUNS_DDL))
+
+
+def span_triples_expr(kind, text, ref, runs=None):
     """ARRAY<STRUCT<pred,obj,context,bm>> emitted by ONE span — pure native
     CASE expression over (kind, text, media_ref) columns, shared by the
     exploded extractor and the single-pass per-document flattened form.
@@ -189,7 +197,10 @@ def span_triples_expr(kind, text, ref):
     prop_url refs, non-uuid rich hrefs — the reference's add-bookmark call
     sites). Carrying the flag here lets the single-pass pipeline derive
     bookmark urls from the SAME extraction pass instead of re-running the
-    span regexes a second time; public extractors drop the column."""
+    span regexes a second time; public extractors drop the column.
+
+    ``runs``: optional pre-parsed runs column for rich_runs spans (see
+    render.spans_with_runs) — when given, no from_json runs here."""
     md_link = r"\[([^\]]*)\]\(([^)]+)\)"
     href_uuid_re = (
         r"^(?:https://www\.notion\.so)?/(?:[a-zA-Z0-9-]+/)?(?:[a-zA-Z0-9-]+-)?(" + _UUID_BODY + r")"
@@ -236,7 +247,10 @@ def span_triples_expr(kind, text, ref):
             F.array(tri("REFERENCES", ref, no_ctx, True)),
         )
         .when(kind.isin(*RICH_TEXT_KINDS), rich_links(plain))
-        .when(kind == "rich_runs", _run_triples_expr(text))
+        .when(
+            kind == "rich_runs",
+            _run_triples_arr_expr(runs) if runs is not None else _run_triples_expr(text),
+        )
         .when(
             (kind == "prop_relation") & ref.isNotNull(),
             F.array(
@@ -292,15 +306,20 @@ def span_triples_expr(kind, text, ref):
     )
 
 
-def doc_triples_expr(spans_col):
+def doc_triples_expr(spans_col, runs_parsed: bool = False):
     """All triples of a document as one flattened array — the single-pass
     form: no span explode, usable inside the same projection that renders
-    content, so the wide spans column is scanned exactly once."""
+    content, so the wide spans column is scanned exactly once.
+
+    ``runs_parsed=True``: spans carry a typed ``runs`` field (see
+    render.spans_with_runs); rich_runs triples consume it instead of
+    re-parsing the JSON text."""
     return F.flatten(
         F.transform(
             spans_col,
             lambda s: span_triples_expr(
-                s["kind"], F.coalesce(s["text"], F.lit("")), s["media_ref"]
+                s["kind"], F.coalesce(s["text"], F.lit("")), s["media_ref"],
+                runs=s["runs"] if runs_parsed else None,
             ),
         )
     )

@@ -93,10 +93,34 @@ def runs_plain_py(runs: list[dict] | None) -> str:
     return "".join((rt.get("plain_text") or "") for rt in runs or [])
 
 
-def fold_runs_expr(text_col):
-    """`fold_runs_py` as one native expression: from_json → per-run CASE
-    wraps → concat_ws. Exact parity with the pandas fold is test-pinned."""
-    runs = F.from_json(text_col, RUNS_DDL)
+def spans_with_runs(spans_col):
+    """Rewrite the spans array with a typed ``runs`` field: the rich_runs
+    JSON payload parsed ONCE per span. The fused pipeline projection has
+    three independent consumers of the parsed runs (render fold, triple
+    extraction, bookmark hrefs); parsing in each costs 2-3 from_json
+    evaluations over the same bytes — the round-2 headline regression.
+    This pre-projection is kept a separate Project node (Catalyst's
+    CollapseProject never inlines a non-cheap expression referenced more
+    than once), so downstream consumers share one parse."""
+    return F.transform(
+        spans_col,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+            F.when(
+                s["kind"] == "rich_runs",
+                F.from_json(F.coalesce(s["text"], F.lit("")), RUNS_DDL),
+            ).alias("runs"),
+        ),
+    )
+
+
+def fold_runs_arr_expr(runs_col):
+    """`fold_runs_py` over an ALREADY-PARSED runs array: per-run CASE wraps
+    → concat_ws. Exact parity with the pandas fold is test-pinned."""
+    runs = runs_col
 
     def flag(r, name):
         return F.coalesce(r[name], F.lit(False))
@@ -122,6 +146,12 @@ def fold_runs_expr(text_col):
         ).otherwise(content)
 
     return F.concat_ws("", F.transform(F.coalesce(runs, F.array().cast(RUNS_DDL)), fold))
+
+
+def fold_runs_expr(text_col):
+    """`fold_runs_py` from the raw JSON text (parses inline — used by the
+    standalone render path; the fused pipeline passes pre-parsed runs)."""
+    return fold_runs_arr_expr(F.from_json(text_col, RUNS_DDL))
 
 
 def _render_block(kind: str, text: str, media_ref: str, offset: int) -> str:
@@ -285,14 +315,18 @@ def render_spans(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield spans_series.map(render_spans_py)
 
 
-def render_spans_native(spans_col):
+def render_spans_native(spans_col, runs_parsed: bool = False):
     """The same render as ONE native expression: two JVM `aggregate` folds
     over the span array (properties first, then blocks, like
     notion_provider.py:152-162's ordering) — no Python worker, no Arrow
     transfer. Kept in exact parity with ``render_spans_py`` by test.
 
     Per-kind templates are a CASE expression; the fold preserves span
-    order by construction."""
+    order by construction.
+
+    ``runs_parsed=True``: the spans already carry a typed ``runs`` field
+    (see ``spans_with_runs``) — the rich_runs fold consumes it instead of
+    re-parsing the JSON text."""
 
     def txt(s):
         return F.coalesce(s["text"], F.lit(""))
@@ -303,12 +337,17 @@ def render_spans_native(spans_col):
     def ind(s):
         return F.repeat(F.lit(INDENT), F.coalesce(s["offset"], F.lit(0)))
 
+    def runs_md(s):
+        if runs_parsed:
+            return fold_runs_arr_expr(s["runs"])
+        return fold_runs_expr(txt(s))
+
     def block_md(s):
         k = s["kind"]
         cap_sfx = F.when(txt(s) != "", F.concat(F.lit(" - "), txt(s))).otherwise(F.lit(""))
         return (
             F.when(k == "paragraph", F.concat(ind(s), txt(s), F.lit("\n\n")))
-            .when(k == "rich_runs", F.concat(ind(s), fold_runs_expr(txt(s)), F.lit("\n\n")))
+            .when(k == "rich_runs", F.concat(ind(s), runs_md(s), F.lit("\n\n")))
             .when(
                 k.isin("heading_1", "heading_2", "heading_3"),
                 F.concat(ind(s), F.repeat(F.lit("#"), F.substring(k, -1, 1).cast("int")),

@@ -39,12 +39,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from knowledge_nexus_spark.functions.extract import (
-    TRIPLE_ARRAY_DDL,
     bookmark_nodes,
-    doc_triples_expr,
     normalize_uuid_col,
 )
-from knowledge_nexus_spark.functions.render import render_spans_native
 from knowledge_nexus_spark.operators.graphops import (
     add_missing_nodes,
     clean_orphans,
@@ -82,25 +79,11 @@ def _delete_partition_dirs(spark: SparkSession, root: str, buckets: list[int]) -
 
 def _extract_changed(changed: DataFrame, cfg: PipelineConfig):
     """(meta, nodes, triples+bucket, burls) for the changed docs — the same
-    fused single-pass projection as pipeline.build_graph: spans scanned
-    once, then dropped."""
-    processed_pred = ~F.col("archived") & ~F.col("in_trash")
-    empty_tris = F.array().cast(TRIPLE_ARRAY_DDL)
-    content_expr = (
-        F.when(processed_pred, render_spans_native(F.col("spans")))
-        if cfg.render_content
-        else F.lit(None).cast("string")
-    )
-    # bookmark urls ride inside the triple array's `bm` flag — one
-    # extraction pass serves edges + bookmarks (see pipeline.build_graph)
-    combined = changed.select(
-        "doc_id", "title", "doc_kind", "url", "archived", "in_trash",
-        "last_edited_time",
-        content_expr.alias("content"),
-        F.when(processed_pred, doc_triples_expr(F.col("spans")))
-        .otherwise(empty_tris)
-        .alias("_tris"),
-    )
+    fused single-pass projection as pipeline.build_graph (one shared
+    helper: spans scanned once, rich_runs parsed once, then dropped)."""
+    from knowledge_nexus_spark.pipeline import fused_docs_projection
+
+    combined = fused_docs_projection(changed, cfg)
     # localCheckpoint, NOT persist: the changed-detection lineage reads the
     # meta/ state path which this refresh later OVERWRITES — Spark's cache
     # manager re-caches (recomputes!) persisted plans whose source path is

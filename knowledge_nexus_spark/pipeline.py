@@ -68,6 +68,51 @@ class PipelineConfig:
     dedup_few_dups: bool = False
 
 
+_HEADER_COLS = [
+    "doc_id", "title", "doc_kind", "url", "archived", "in_trash",
+    "last_edited_time",
+]
+
+
+def fused_docs_projection(docs: DataFrame, cfg: "PipelineConfig") -> DataFrame:
+    """The SINGLE-PASS projection at the heart of the pipeline: from a
+    (deduplicated) documents frame, compute the rendered content AND the
+    per-document triple array together — the wide spans column is scanned
+    once and then DROPPED.
+
+    Two stacked Projects: the first rewrites spans with a typed ``runs``
+    field (rich_runs JSON parsed ONCE per span — render fold, triple
+    extraction, and bookmark hrefs all share that single parse; Catalyst
+    keeps the Projects separate because the parse is non-cheap and
+    multiply-referenced), the second folds content + triples from the
+    parsed spans. Shared by build_graph and the incremental refresh."""
+    from knowledge_nexus_spark.functions.extract import (
+        TRIPLE_ARRAY_DDL,
+        doc_triples_expr,
+    )
+    from knowledge_nexus_spark.functions.render import spans_with_runs
+
+    processed_pred = ~F.col("archived") & ~F.col("in_trash")
+    parsed = docs.select(*_HEADER_COLS, spans_with_runs(F.col("spans")).alias("spans"))
+
+    empty_tris = F.array().cast(TRIPLE_ARRAY_DDL)
+    content_expr = (
+        F.when(processed_pred, render_spans_native(F.col("spans"), runs_parsed=True))
+        if cfg.render_content
+        else F.lit(None).cast("string")
+    )
+    # bookmark urls ride INSIDE the triple array (the `bm` flag) — one
+    # extraction pass serves both the edges and the bookmark branch; a
+    # separate bookmark-url projection would re-run the span regexes.
+    return parsed.select(
+        *_HEADER_COLS,
+        content_expr.alias("content"),
+        F.when(processed_pred, doc_triples_expr(F.col("spans"), runs_parsed=True))
+        .otherwise(empty_tris)
+        .alias("_tris"),
+    )
+
+
 @dataclass
 class GraphResult:
     nodes: DataFrame
@@ -101,38 +146,16 @@ def build_graph(
     cfg = cfg or PipelineConfig()
 
     if cfg.native_extract and cfg.native_render:
-        # SINGLE-PASS plan: one projection computes the rendered content
-        # AND the per-document triple array together, directly after the
-        # dedup window — the wide spans column is scanned once, shuffled
-        # once, and then DROPPED; the persisted intermediate holds only
-        # (header cols, content, triple array). Halves the wide-data I/O
-        # vs running a render branch and an extract branch separately.
-        processed_pred = ~F.col("archived") & ~F.col("in_trash")
-        from knowledge_nexus_spark.functions.extract import (
-            TRIPLE_ARRAY_DDL,
-            doc_triples_expr,
-            normalize_uuid_col,
-        )
+        # SINGLE-PASS plan (see fused_docs_projection): content + triple
+        # array computed together directly after the dedup window — the
+        # wide spans column is scanned once, shuffled once, and DROPPED;
+        # the persisted intermediate holds only (header cols, content,
+        # triple array). Halves the wide-data I/O vs separate render and
+        # extract branches.
+        from knowledge_nexus_spark.functions.extract import normalize_uuid_col
 
-        empty_tris = F.array().cast(TRIPLE_ARRAY_DDL)
-        content_expr = (
-            F.when(processed_pred, render_spans_native(F.col("spans")))
-            if cfg.render_content
-            else F.lit(None).cast("string")
-        )
-        # bookmark urls ride INSIDE the triple array (the `bm` flag) — one
-        # extraction pass serves both the edges and the bookmark branch; a
-        # separate bookmark-url projection would re-run the span regexes.
-        combined = (
-            freshness_dedup(documents, few_dups=cfg.dedup_few_dups)
-            .select(
-                "doc_id", "title", "doc_kind", "url", "archived", "in_trash",
-                "last_edited_time",
-                content_expr.alias("content"),
-                F.when(processed_pred, doc_triples_expr(F.col("spans")))
-                .otherwise(empty_tris)
-                .alias("_tris"),
-            )
+        combined = fused_docs_projection(
+            freshness_dedup(documents, few_dups=cfg.dedup_few_dups), cfg
         )
         if cfg.persist_intermediate:
             combined = combined.persist(StorageLevel.MEMORY_AND_DISK)

@@ -71,6 +71,24 @@ def test_native_extraction_has_no_python(spark):
         assert marker not in plan, f"Python stage {marker} in the native extract plan"
 
 
+def test_fused_projection_parses_rich_runs_once(spark):
+    """The fused content+triples projection must hold exactly ONE from_json
+    of the rich_runs payload: render fold, triple extraction, and bookmark
+    hrefs all consume the shared parsed-runs field (spans_with_runs).
+    Regression guard for the round-2 headline slowdown (3 independent
+    parses over the same span bytes)."""
+    from knowledge_nexus_spark.datagen import CorpusConfig, generate_documents
+    from knowledge_nexus_spark.operators.graphops import freshness_dedup
+    from knowledge_nexus_spark.pipeline import PipelineConfig, fused_docs_projection
+
+    docs = generate_documents(spark, CorpusConfig(n_docs=10))
+    combined = fused_docs_projection(freshness_dedup(docs), PipelineConfig())
+    plan = combined._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") == 1, (
+        f"expected exactly 1 shared rich_runs parse, found {plan.count('from_json')}"
+    )
+
+
 def test_freshness_tiebreak_deterministic_and_single_exchange(spark):
     """Equal-timestamp versions pick a stable winner across orderings, and
     the peers-count guard must not add a second shuffle."""
