@@ -8,25 +8,32 @@ operator a user running daily refreshes hits first: the expensive work
 O(corpus).
 
 State layout under ``state_dir`` (parquet — the sandbox stand-in for
-Iceberg tables; MERGE INTO replaces the partition rewrites in production):
+Iceberg tables; MERGE INTO replaces the partition rewrites in production).
+EVERY state table is hash-partitioned on ``bucket = pmod(xxhash64(key), N)``
+so a refresh reads and rewrites ONLY the buckets its changed keys live in
+(dynamic partition overwrite) — bytes written per refresh are O(changed
+docs), never O(corpus):
 
-  meta/     (doc_id, last_edited_time)            freshness watermark
-  nodes/    page-node rows of the current corpus  (replaced per changed id)
-  triples/  (subj, pred, obj, context, bucket)    raw extraction, PRE-orphan,
-            hash-partitioned by subj so a refresh rewrites only the buckets
-            its changed subjects live in (dynamic partition overwrite)
-  burls/    (doc_id, url)                         bookmark-able urls per doc
+  meta/     (doc_id, last_edited_time)              key: doc_id
+  nodes/    page-node rows (incl. rendered content — the WIDE table whose
+            wholesale rewrite was the round-2 scale hole)    key: id
+  triples/  (subj, pred, obj, context)              key: subj (normalized)
+  burls/    (doc_id, url)                           key: doc_id
+  chunks/   (page_id, sequence, content, embedding) — only when
+            cfg.with_chunks; the reference re-chunks exactly the changed
+            pages (content_chunker_and_embedder.py:151-175)  key: page_id
 
 Each refresh: freshness-dedup the incoming snapshot → diff against meta →
-re-extract changed docs only (same fused single-pass projection as
-build_graph) → keyed delete+insert into state → derive the output graph
-(bookmark nodes from merged burls, orphan policy, distinct edges). The
-derived graph equals a full rebuild over the new corpus by construction;
-tests pin that equality and the exactly-K re-extraction count.
+re-extract (and re-chunk) changed docs only (same fused single-pass
+projection as build_graph) → per-table keyed delete+insert touching only
+the changed keys' buckets → derive the output graph (bookmark nodes from
+merged burls, orphan policy, distinct edges). The derived graph equals a
+full rebuild over the new corpus by construction; tests pin that
+equality, the exactly-K re-extraction count, and that only the touched
+bucket partitions are rewritten.
 
-Scope: covers the extract/render/merge stages the reference's
-refresh_updated_pages touches. Chunking re-runs per changed doc via the
-same state pattern if needed; entity linking / canonicalization are
+Scope: covers the extract/render/merge/chunk stages the reference's
+refresh_updated_pages touches; entity linking / canonicalization are
 corpus-global by nature and rerun from the refreshed state through
 run_pipeline's stages 4-5 (their inputs are the merged nodes/triples).
 """
@@ -50,7 +57,7 @@ from knowledge_nexus_spark.operators.graphops import (
     page_nodes,
 )
 from knowledge_nexus_spark.pipeline import PipelineConfig
-from knowledge_nexus_spark.streaming.ingest import N_BUCKETS, _hadoop_exists
+from knowledge_nexus_spark.streaming.ingest import N_BUCKETS, _snapshot_exists
 
 
 @dataclass
@@ -58,6 +65,7 @@ class RefreshResult:
     nodes: DataFrame
     edges: DataFrame
     n_changed: int  # docs re-extracted this refresh (== corpus size on init)
+    chunks: DataFrame | None = None  # only when cfg.with_chunks
 
 
 def _bucket_of(col):
@@ -106,15 +114,56 @@ def _extract_changed(changed: DataFrame, cfg: PipelineConfig):
         normalize_uuid_col(F.col("doc_id")).alias("subj"),
         F.explode("_tris").alias("t"),
     )
-    triples = exploded.select("subj", "t.pred", "t.obj", "t.context").withColumn(
-        "bucket", _bucket_of(F.col("subj"))
-    )
+    triples = exploded.select("subj", "t.pred", "t.obj", "t.context")
     burls = (
         exploded.filter(F.col("t.bm"))
         .select("doc_id", F.col("t.obj").alias("url"))
         .dropDuplicates(["doc_id", "url"])
     )
     return combined, meta, nodes, triples, burls
+
+
+def _merge_bucketed(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    new_rows: DataFrame,
+    changed_keys: DataFrame,
+    has_state: bool,
+) -> None:
+    """Keyed delete+insert into a bucket-partitioned parquet state table.
+
+    Only the buckets the changed keys hash into are read (partition-pruned
+    scan) and rewritten (dynamic partition overwrite) — every new row's key
+    is among changed_keys by construction, so its bucket is always touched.
+    Buckets whose content disappears entirely are deleted explicitly
+    (dynamic overwrite only rewrites partitions PRESENT in the output).
+    This is the parquet emulation of an Iceberg MERGE INTO's file pruning:
+    work per refresh is O(changed ∪ touched buckets), never O(corpus)."""
+    new_rows = new_rows.withColumn("bucket", _bucket_of(F.col(key_col)))
+    if not has_state:
+        new_rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        return
+    keys = changed_keys.withColumn("bucket", _bucket_of(F.col(key_col)))
+    touched = sorted(r.bucket for r in keys.select("bucket").distinct().collect())
+    if not touched:
+        return
+    stored = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(touched))  # partition-pruned scan
+        .join(keys.select(key_col), key_col, "left_anti")
+    )
+    # localCheckpoint breaks the read→overwrite cycle on the state files
+    merged = stored.unionByName(new_rows).localCheckpoint(eager=True)
+    out_buckets = {r.bucket for r in merged.select("bucket").distinct().collect()}
+    emptied = [b for b in touched if b not in out_buckets]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _delete_partition_dirs(spark, path, emptied)
 
 
 def refresh_updated(
@@ -125,16 +174,20 @@ def refresh_updated(
 ) -> RefreshResult:
     """Incrementally refresh the graph state from a new corpus snapshot.
 
-    First call (no state) processes everything; later calls re-extract only
-    docs whose last_edited_time is strictly newer than the stored watermark
-    (or that are new). Returns the derived (nodes, edges) plus the count of
-    re-extracted docs — the per-stage lineage metric the reference logs."""
+    First call (no state) processes everything; later calls re-extract (and
+    with cfg.with_chunks, re-chunk+re-embed) only docs whose
+    last_edited_time is strictly newer than the stored watermark (or that
+    are new). Every state table is bucket-partitioned, so bytes written per
+    refresh scale with the changed-doc count, not the corpus. Returns the
+    derived (nodes, edges[, chunks]) plus the count of re-extracted docs —
+    the per-stage lineage metric the reference logs."""
     cfg = cfg or PipelineConfig()
     meta_p, nodes_p = f"{state_dir}/meta", f"{state_dir}/nodes"
     tri_p, burl_p = f"{state_dir}/triples", f"{state_dir}/burls"
+    chunk_p = f"{state_dir}/chunks"
 
     latest = freshness_dedup(incoming)
-    has_state = _hadoop_exists(spark, meta_p + "/_SUCCESS")
+    has_state = _snapshot_exists(spark, meta_p)
 
     if has_state:
         stored_meta = spark.read.parquet(meta_p)
@@ -158,67 +211,48 @@ def refresh_updated(
     combined, meta, nodes, triples, burls = _extract_changed(changed, cfg)
     n_changed = meta.count()
 
-    if has_state and n_changed == 0:
+    def _result() -> RefreshResult:
         return RefreshResult(
             nodes=_derive_nodes(spark, nodes_p, burl_p),
             edges=_derive_edges(spark, state_dir, cfg),
-            n_changed=0,
+            n_changed=n_changed,
+            chunks=spark.read.parquet(chunk_p).drop("bucket")
+            if cfg.with_chunks
+            else None,
         )
 
-    changed_ids = meta.select("doc_id")
+    if has_state and n_changed == 0:
+        return _result()
 
-    if has_state:
-        # keyed delete+insert, narrow tables rewritten wholesale
-        old_meta = spark.read.parquet(meta_p).join(changed_ids, "doc_id", "left_anti")
-        new_meta = old_meta.unionByName(meta).localCheckpoint(eager=True)
-        old_nodes = spark.read.parquet(nodes_p).join(
-            changed_ids.select(F.col("doc_id").alias("id")), "id", "left_anti"
-        )
-        new_nodes = old_nodes.unionByName(nodes).localCheckpoint(eager=True)
-        old_burls = spark.read.parquet(burl_p).join(changed_ids, "doc_id", "left_anti")
-        new_burls = old_burls.unionByName(burls).localCheckpoint(eager=True)
-        new_meta.write.mode("overwrite").parquet(meta_p)
-        new_nodes.write.mode("overwrite").parquet(nodes_p)
-        new_burls.write.mode("overwrite").parquet(burl_p)
+    changed_ids = meta.select("doc_id")  # lineage is cut at `combined`
 
-        # triples: PARTITION-SCOPED rewrite of only the touched buckets
-        changed_subjs = changed_ids.select(
-            normalize_uuid_col(F.col("doc_id")).alias("subj")
-        ).withColumn("bucket", _bucket_of(F.col("subj")))
-        touched = sorted(
-            r.bucket for r in changed_subjs.select("bucket").distinct().collect()
-        )
-        stored = (
-            spark.read.parquet(tri_p)
-            .filter(F.col("bucket").isin(touched))
-            .join(changed_subjs.select("subj"), "subj", "left_anti")
-        )
-        merged = stored.unionByName(triples.filter(F.col("bucket").isin(touched)))
-        merged = merged.localCheckpoint(eager=True)
-        out_buckets = {r.bucket for r in merged.select("bucket").distinct().collect()}
-        emptied = [b for b in touched if b not in out_buckets]
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(tri_p)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        _delete_partition_dirs(spark, tri_p, emptied)
-    else:
-        meta.write.mode("overwrite").parquet(meta_p)
-        nodes.write.mode("overwrite").parquet(nodes_p)
-        burls.write.mode("overwrite").parquet(burl_p)
-        triples.write.mode("overwrite").partitionBy("bucket").parquet(tri_p)
-
-    return RefreshResult(
-        nodes=_derive_nodes(spark, nodes_p, burl_p),
-        edges=_derive_edges(spark, state_dir, cfg),
-        n_changed=n_changed,
+    _merge_bucketed(spark, meta_p, "doc_id", meta, changed_ids, has_state)
+    _merge_bucketed(
+        spark, nodes_p, "id", nodes,
+        changed_ids.select(F.col("doc_id").alias("id")), has_state,
     )
+    _merge_bucketed(spark, burl_p, "doc_id", burls, changed_ids, has_state)
+    _merge_bucketed(
+        spark, tri_p, "subj", triples,
+        changed_ids.select(normalize_uuid_col(F.col("doc_id")).alias("subj")),
+        has_state,
+    )
+    if cfg.with_chunks:
+        from knowledge_nexus_spark.operators.chunking import chunk_and_embed
+
+        new_chunks = chunk_and_embed(
+            nodes, cfg.chunk_size, cfg.chunk_overlap, cfg.embedding_dim
+        )
+        _merge_bucketed(
+            spark, chunk_p, "page_id", new_chunks,
+            changed_ids.select(F.col("doc_id").alias("page_id")), has_state,
+        )
+
+    return _result()
 
 
 def _derive_nodes(spark: SparkSession, nodes_p: str, burl_p: str) -> DataFrame:
-    page = spark.read.parquet(nodes_p)
+    page = spark.read.parquet(nodes_p).drop("bucket")
     urls = spark.read.parquet(burl_p).select(F.col("url").alias("id")).distinct()
     return page.unionByName(bookmark_nodes(urls))
 

@@ -91,6 +91,7 @@ def main() -> None:
             "reextracted_docs": res.n_changed,
             "nodes": res.nodes.count(),
             "edges": res.edges.count(),
+            "chunks": res.chunks.count() if res.chunks is not None else 0,
             "state": args.refresh_state,
         }
     else:
