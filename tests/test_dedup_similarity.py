@@ -173,6 +173,39 @@ def test_ann_contains_true_top1(spark):
     assert 7 in ann  # the query's own bucket always contains it
 
 
+def test_lsh_index_partition_pruned_and_equal(spark, tmp_path):
+    """The stored ANN index: (1) the candidate scan is PARTITION-PRUNED to
+    the query's (band, key) probes — visible as PartitionFilters in the
+    physical plan, the claim that makes the 100 TB story executable — and
+    (2) results equal the query-time-signature lsh_topk (same planes)."""
+    from knowledge_nexus_spark.operators.dedup import query_band_keys
+    from knowledge_nexus_spark.operators.similarity import lsh_topk_indexed, write_lsh_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, "vec_id", "embedding", path, dim=64, bands=4, band_planes=4)
+
+    qv = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    got = lsh_topk_indexed(
+        emb, path, "vec_id", "embedding", qv, k=5, dim=64, bands=4, band_planes=4
+    )
+
+    # plan: the index scan must carry the probes as partition filters
+    jvm = spark.sparkContext._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("band" in ln and "key" in ln for ln in pf), plan
+    qkeys = query_band_keys(qv, 64, 4, 4, 42)
+    assert any(str(qkeys[0]) in ln for ln in pf), (qkeys, pf)
+
+    want = lsh_topk(emb, "vec_id", "embedding", qv, 5, dim=64, bands=4, band_planes=4)
+    assert [(r.id, round(r.score, 6)) for r in got.collect()] == [
+        (r.id, round(r.score, 6)) for r in want.collect()
+    ]
+
+
 def test_knn_self_join_shape(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
     knn = knn_self_join(emb, "vec_id", "embedding", k=3, dim=64)
