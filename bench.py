@@ -113,6 +113,13 @@ def main() -> None:
     kg = sorted(kg_runs, key=lambda r: r["wall_sec"])[len(kg_runs) // 2]
     times["kg_pipeline_spans"] = round(kg["wall_sec"], 3)
 
+    # recall of the approximate (rows-only-oracled) ANN query vs the exact
+    # brute-force top-k at this SF — the driver-visible quality metric for
+    # the two float-LSH queries plain SQL cannot oracle
+    ann_ids = {r.id for r in QUERIES["ann_topk"](spark, sf_dir).collect()}
+    lsh_ids = {r.id for r in QUERIES["ann_lsh"](spark, sf_dir).collect()}
+    ann_recall = round(len(ann_ids & lsh_ids) / max(len(ann_ids), 1), 3)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
@@ -127,6 +134,7 @@ def main() -> None:
         "kg_docs": kg_docs,
         "kg_triples": kg["triples"],
         "kg_triples_per_sec": round(kg["triples_per_sec"], 1),
+        "ann_lsh_recall_at_10": ann_recall,
         "protocol": f"median-of-{repeats} per query",
         "cpus": cpus,
     }

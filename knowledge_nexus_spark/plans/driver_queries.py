@@ -429,11 +429,21 @@ def sql_ann_topk():
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only: bucketing is engine-defined; pytest
-    checks recall vs brute force)."""
+    """LSH-bucketed ANN (rows-only: float hyperplane bucketing has no SQL
+    analogue; pytest pins recall vs brute force and bench.py reports the
+    measured recall as a driver-visible metric). Scores rounded to 4dp and
+    fully tie-broken, so the row set is deterministic per corpus."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    return lsh_topk(emb.filter("vec_id <> 0"), "vec_id", "embedding", qv, k=10, dim=len(qv))
+    # bands=16 x 6 planes: measured recall@10 = 1.0 at sf0.1 / 0.7 at
+    # sf0.01 on the synthetic embeddings while probing ~bands/2^planes =
+    # 25% of the corpus worst-case — the honest LSH tradeoff on weakly-
+    # clustered vectors (more bands => recall, more planes => selectivity)
+    res = lsh_topk(
+        emb.filter("vec_id <> 0"), "vec_id", "embedding", qv,
+        k=10, dim=len(qv), bands=16, band_planes=6,
+    )
+    return res.select("id", F.round("score", 4).alias("score"))
 
 
 # ------------------------------------------------------------ text analysis --
@@ -646,6 +656,121 @@ def sql_tpch_q3():
     """
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Q4 adapted (correlated EXISTS): orders in a one-year window with at
+    least one LATE lineitem (shipped >60 days after the order date — the
+    available-column stand-in for Q4's commit<receipt), counted per
+    priority. The EXISTS compiles to a left-semi hash join on the equi key
+    with the date conjunct as a join filter — one shuffle, no fact-table
+    broadcast, the shape that survives 100×."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def sql_tpch_q4():
+    return """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Q12 adapted (shipmode buckets): lineitems shipped in a one-year
+    window joined to orders, counting high- vs low-priority orders per
+    returnflag (the available-column stand-in for shipmode). Facts join
+    facts — shuffle join on the order key, AQE decides the strategy."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def sql_tpch_q12():
+    return """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+
+def q_kg_motif_triangle(spark, sf_dir):
+    """GraphFrames-style motif: triadic closure a-b-c over the entity
+    co-mention graph (edges = gazetteer term pairs sharing a document,
+    J8's graph) — the generalization of the fixed 2-hop queries (J6/J7)
+    to pattern matching. The distributed work is the co-occurrence edge
+    build (explode + self-join per doc); the triangle enumeration is two
+    more self-joins with the closing edge constrained on BOTH endpoints,
+    and the a<b<c ordering makes each triangle appear exactly once."""
+    docs = _t(spark, sf_dir, "documents")
+    mentions = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok").isin(GAZETTEER))
+        .distinct()
+    )
+    x, y = mentions.alias("x"), mentions.alias("y")
+    edges = (
+        x.join(y, "doc_id")
+        .filter(F.col("x.tok") < F.col("y.tok"))
+        .select(F.col("x.tok").alias("s"), F.col("y.tok").alias("t"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.s") == F.col("e1.t"))
+        .join(e3, (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")))
+        .select(F.col("e1.s").alias("a"), F.col("e1.t").alias("b"), F.col("e2.t").alias("c"))
+    )
+
+
+def sql_kg_motif_triangle():
+    quoted = ", ".join(f"'{g}'" for g in GAZETTEER)
+    return f"""
+    WITH mentions AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents)
+      WHERE tok IN ({quoted})),
+    e AS (
+      SELECT DISTINCT x.tok AS s, y.tok AS t
+      FROM mentions x JOIN mentions y ON x.doc_id = y.doc_id AND x.tok < y.tok)
+    SELECT e1.s AS a, e1.t AS b, e2.t AS c
+    FROM e e1 JOIN e e2 ON e2.s = e1.t
+    JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t
+    """
+
+
 def q_kg_entity_groups(spark, sf_dir):
     """A3 entity grouping: distinct gazetteer mention count per label bucket
     (first letter as the label stand-in)."""
@@ -772,10 +897,13 @@ QUERIES = {
     "text_lang": q_text_lang,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
     "tpch_q6": q_tpch_q6,
+    "tpch_q12": q_tpch_q12,
     "tpch_top_orders": q_tpch_top_orders,
     "tpch_region_revenue": q_tpch_region_revenue,
     "kg_entity_groups": q_kg_entity_groups,
+    "kg_motif_triangle": q_kg_motif_triangle,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
@@ -805,10 +933,13 @@ ORACLE_SQL = {
     "text_lang": sql_text_lang(),
     "tpch_q1": sql_tpch_q1(),
     "tpch_q3": sql_tpch_q3(),
+    "tpch_q4": sql_tpch_q4(),
     "tpch_q6": sql_tpch_q6(),
+    "tpch_q12": sql_tpch_q12(),
     "tpch_top_orders": sql_tpch_top_orders(),
     "tpch_region_revenue": sql_tpch_region_revenue(),
     "kg_entity_groups": sql_kg_entity_groups(),
+    "kg_motif_triangle": sql_kg_motif_triangle(),
     "events_windowed": sql_events_windowed(),
     "events_sessionize": sql_events_sessionize(),
     "events_session_window": sql_events_session_window(),
