@@ -49,12 +49,39 @@ def main() -> None:
                    help="incremental mode: diff the input snapshot against the "
                         "state in DIR, re-extract only changed docs, merge "
                         "(operators/refresh.py — refresh_updated_pages parity)")
+    p.add_argument("--stream", default=None, metavar="DIR",
+                   help="streaming mode: drain document parquet drops from DIR "
+                        "through the Structured Streaming CDC MERGE into the "
+                        "edges snapshot (streaming/ingest.py); re-invoke after "
+                        "new drops land — the stream checkpoint skips "
+                        "already-merged files")
+    p.add_argument("--stream-out", default=None, metavar="DIR",
+                   help="streaming mode: root for the edges snapshot + stream "
+                        "checkpoint (default: <stream dir>_out)")
     args = p.parse_args()
 
     from knowledge_nexus_spark.pipeline import PipelineConfig, run_pipeline
     from knowledge_nexus_spark.session import get_spark
 
     spark = get_spark("knx-pipeline", master=args.master)
+
+    if args.stream:
+        from knowledge_nexus_spark.streaming.ingest import incremental_ingest
+
+        out = args.stream_out or args.stream.rstrip("/") + "_out"
+        t0 = time.perf_counter()
+        incremental_ingest(
+            spark, args.stream, f"{out}/edges", f"{out}/checkpoint", process_all=True
+        )
+        summary = {
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "mode": "stream",
+            "edges": spark.read.parquet(f"{out}/edges").count(),
+            "out": out,
+        }
+        print(json.dumps(summary))
+        spark.stop()
+        return
 
     if args.generate:
         from knowledge_nexus_spark.datagen import CorpusConfig, generate_documents
@@ -63,7 +90,7 @@ def main() -> None:
     elif args.input:
         docs = spark.read.parquet(args.input)
     else:
-        p.error("one of --input / --generate is required")
+        p.error("one of --input / --generate / --stream is required")
 
     cfg = PipelineConfig(
         with_chunks=args.with_chunks,
