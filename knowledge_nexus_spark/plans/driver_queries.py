@@ -873,6 +873,136 @@ def sql_events_session_window():
     """
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: every purchase picks the user's most recent click at or
+    before it (operators/temporal.asof_join — union + keyed window, one
+    shuffle). Gap computed in exact integer microseconds."""
+    from knowledge_nexus_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(purchases, clicks, on="user_id", right_cols=["ts", "event_id"])
+    lus = F.unix_micros(F.col("ts").cast("timestamp"))
+    mus = F.unix_micros(F.col("matched_ts").cast("timestamp"))
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("matched_event_id").alias("click_event_id"),
+        F.round((lus - mus) / F.lit(1_000_000.0), 6).alias("gap_s"),
+    )
+
+
+def sql_events_asof():
+    return """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         u AS (
+           SELECT user_id, ts AS t, 1 AS side, event_id AS l_eid,
+                  CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS TIMESTAMP) AS r_ts
+           FROM l
+           UNION ALL
+           SELECT user_id, ts, 0, NULL, event_id, ts FROM r),
+         m AS (
+           SELECT user_id, t, side, l_eid,
+                  last_value(r_eid IGNORE NULLS) OVER w AS m_eid,
+                  last_value(r_ts IGNORE NULLS) OVER w AS m_ts
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY t, side, r_ts, r_eid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT l_eid AS event_id, user_id, m_eid AS click_event_id,
+           round((epoch_us(t) - epoch_us(m_ts)) / 1000000.0, 6) AS gap_s
+    FROM m WHERE side = 1
+    """
+
+
+def q_events_range_agg(spark, sf_dir):
+    """Range join: purchases within the 2 hours ending at each error
+    event, per user (operators/temporal.range_join — time-bucketed
+    equi-join, no inequality/cartesian path), aggregated per error."""
+    from knowledge_nexus_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    rj = range_join(
+        errors, purchases, on="user_id", lower_seconds=-7200.0, upper_seconds=0.0
+    )
+    return rj.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_purch"),
+        F.round(F.sum(_dec(F.col("r_value"), 28, 6)).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
+
+
+def sql_events_range_agg():
+    return """
+    SELECT e.event_id, e.user_id, count(*) AS n_purch,
+           round(CAST(sum(CAST(p.value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+    FROM events e
+    JOIN events p
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) - epoch_us(e.ts) BETWEEN -7200000000 AND 0
+    GROUP BY 1, 2
+    """
+
+
+def q_text_quality(spark, sf_dir):
+    """Gopher/C4-style document quality scoring (functions/textstats) —
+    pure native column expressions, zero Python in the hot path."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.quality_score(F.col("text")).alias("quality"),
+        F.round(ts.punct_ratio(F.col("text")), 6).alias("punct_r"),
+        F.round(ts.stopword_ratio(F.col("text")), 6).alias("stop_r"),
+    )
+
+
+def sql_text_quality():
+    quoted = ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(lower(trim(text)), ' ')) END AS n,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      FROM documents),
+    feat AS (
+      SELECT doc_id, n,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS tok_len,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> list_contains([{quoted}], t))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN length(text) > 0
+                  THEN CAST(n_punct AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS punct_ratio
+      FROM base)
+    SELECT doc_id,
+           round(
+             (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0
+                   ELSE least(CAST(n AS DOUBLE) / 10.0, 1.0) END) * 0.4
+             + (CASE WHEN tok_len >= 2.0 AND tok_len <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+             + least(stop_ratio / 0.05, 1.0) * 0.2
+             + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+           round(punct_ratio, 6) AS punct_r,
+           round(stop_ratio, 6) AS stop_r
+    FROM feat
+    """
+
+
 # ----------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -907,6 +1037,9 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
+    "events_asof": q_events_asof,
+    "events_range_agg": q_events_range_agg,
+    "text_quality": q_text_quality,
 }
 
 ORACLE_SQL = {
@@ -943,4 +1076,7 @@ ORACLE_SQL = {
     "events_windowed": sql_events_windowed(),
     "events_sessionize": sql_events_sessionize(),
     "events_session_window": sql_events_session_window(),
+    "events_asof": sql_events_asof(),
+    "events_range_agg": sql_events_range_agg(),
+    "text_quality": sql_text_quality(),
 }

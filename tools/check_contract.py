@@ -3,7 +3,8 @@ entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 column names, and an order-insensitive value hash (columns sorted by name,
 rows sorted, values stringified). Exit nonzero on any mismatch.
 
-Usage: python tools/check_contract.py [sf_dir]
+Usage: python tools/check_contract.py [sf_dir] [query_name ...]
+(no query names = run all)
 """
 
 from __future__ import annotations
@@ -52,17 +53,21 @@ def main() -> int:
     from knowledge_nexus_spark.session import get_spark
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark("contract-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-    df = e.entry(spark)
-    n = df.count()
-    print(f"entry: {n} rows, schema={[f.name for f in df.schema.fields]}")
-    assert n >= 0
-
     qs, osql = e.queries(), e.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+    else:
+        df = e.entry(spark)
+        n = df.count()
+        print(f"entry: {n} rows, schema={[f.name for f in df.schema.fields]}")
+        assert n >= 0
+
     failures = []
     for name, fn in qs.items():
         try:
