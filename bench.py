@@ -38,8 +38,12 @@ HEADLINE = [
     "tpch_q1",
     "tpch_top_orders",
     "tpch_region_revenue",
+    "tpch_rollup",
     "events_windowed",
     "events_sessionize",
+    "events_asof",
+    "events_hll",
+    "text_quality",
 ]
 
 

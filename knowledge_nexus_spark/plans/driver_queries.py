@@ -1003,6 +1003,180 @@ def sql_text_quality():
     """
 
 
+def q_events_hll(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-count sketch per event type
+    (operators/sketches — fixed md5 hash, exact-integer register sum, so a
+    SQL oracle reproduces the estimate bit-for-bit)."""
+    from knowledge_nexus_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, "event_type", "event_id")
+
+
+def sql_events_hll():
+    from knowledge_nexus_spark.operators.sketches import hll_distinct_sql
+
+    return hll_distinct_sql("events", "event_type", "event_id")
+
+
+def q_tpch_q13_adapted(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    preserving zero-order customers, then a second aggregation over the
+    counts. Both aggs shuffle on keys that shrink the data — scale-safe."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def sql_tpch_q13_adapted():
+    return """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """
+
+
+def q_events_running(spark, sf_dir):
+    """Per-user running total over the event stream (unbounded-preceding
+    window sum). DECIMAL accumulation: the prefix order is fixed by the
+    window, but decimal keeps the cross-engine values exactly equal."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(_dec(F.col("value"), 28, 6)).over(w).cast("double"), 4).alias(
+            "running_value"
+        ),
+    )
+
+
+def sql_events_running():
+    return """
+    SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_value
+    FROM events
+    """
+
+
+def q_events_median(spark, sf_dir):
+    """Exact interpolated percentiles per event type (p50/p90) — the
+    sort-based exact form; the HLL sketch next door is the approximate
+    family's representative."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+def sql_events_median():
+    return """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90
+    FROM events GROUP BY event_type
+    """
+
+
+def q_tpch_rollup(spark, sf_dir):
+    """ROLLUP multi-level aggregate (per-flag/status, per-flag, grand
+    total) — Spark expands grouping sets in one pass over the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def sql_tpch_rollup():
+    return """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+
+def q_docs_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) by content-independent
+    id hash — the reproducible form of sampling a training pipeline needs
+    (a seeded random sample changes under repartitioning; a hash split
+    never does). Dual-engine md5 hash → same assignment in any engine."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.pmod(dd.md5_hash64(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(F.col("lang"), split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def sql_docs_hash_split():
+    return """
+    WITH b AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bb
+      FROM documents)
+    SELECT lang,
+           CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """
+
+
+EVENT_KINDS = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): per-user event-type counts as columns.
+    Explicit value list — no pre-scan for distinct pivot keys, and the
+    output schema is static (a requirement for any production pivot)."""
+    ev = _t(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", EVENT_KINDS).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in EVENT_KINDS],
+    )
+
+
+def sql_events_pivot():
+    conds = ",\n           ".join(
+        f"count(*) FILTER (WHERE event_type = '{k}') AS n_{k}" for k in EVENT_KINDS
+    )
+    return f"""
+    SELECT user_id,
+           {conds}
+    FROM events GROUP BY user_id
+    """
+
+
 # ----------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -1040,6 +1214,13 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_range_agg": q_events_range_agg,
     "text_quality": q_text_quality,
+    "events_hll": q_events_hll,
+    "events_running": q_events_running,
+    "events_median": q_events_median,
+    "tpch_q13_adapted": q_tpch_q13_adapted,
+    "tpch_rollup": q_tpch_rollup,
+    "events_pivot": q_events_pivot,
+    "docs_hash_split": q_docs_hash_split,
 }
 
 ORACLE_SQL = {
@@ -1079,4 +1260,11 @@ ORACLE_SQL = {
     "events_asof": sql_events_asof(),
     "events_range_agg": sql_events_range_agg(),
     "text_quality": sql_text_quality(),
+    "events_hll": sql_events_hll(),
+    "events_running": sql_events_running(),
+    "events_median": sql_events_median(),
+    "tpch_q13_adapted": sql_tpch_q13_adapted(),
+    "tpch_rollup": sql_tpch_rollup(),
+    "events_pivot": sql_events_pivot(),
+    "docs_hash_split": sql_docs_hash_split(),
 }

@@ -1,0 +1,82 @@
+"""Stream-stream interval join: streaming result == batch range_join on
+the same data (file-source availableNow harness, as in test_sessions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowledge_nexus_spark.operators.temporal import range_join
+from knowledge_nexus_spark.streaming.joins import stream_interval_join
+
+SF = "/root/testdata/sf0.001"
+LOWER, UPPER = -1800.0, 1800.0
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(F.col("user_id") < 10)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    cdir, pdir, out_dir, ck = (
+        str(tmp_path / d) for d in ("clicks", "purch", "out", "ck")
+    )
+    clicks.write.parquet(cdir)
+    purchases.write.parquet(pdir)
+
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+    q = (
+        stream_interval_join(
+            cs, ps, on="user_id", lower_seconds=LOWER, upper_seconds=UPPER
+        )
+        .select("event_id", "user_id", "r_event_id")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.event_id, r.user_id, r.r_event_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    want = {
+        (r.event_id, r.user_id, r.r_event_id)
+        for r in range_join(
+            clicks,
+            purchases.withColumnRenamed("event_id", "rid"),
+            on="user_id",
+            lower_seconds=LOWER,
+            upper_seconds=UPPER,
+        )
+        .select("event_id", "user_id", F.col("r_rid").alias("r_event_id"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_interval_join_is_stateful_streaming_plan(spark, tmp_path):
+    """The streaming plan must be a stream-stream join with watermarks on
+    both sides (state cleanup enabled), not an unbounded join."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(10)
+    d = str(tmp_path / "in")
+    ev.write.parquet(d)
+    s1 = spark.readStream.schema(ev.schema).parquet(d)
+    s2 = spark.readStream.schema(ev.schema).parquet(d)
+    j = stream_interval_join(
+        s1.select("event_id", "user_id", "ts"),
+        s2.select("user_id", "ts", "event_id"),
+        on="user_id",
+        lower_seconds=-60,
+        upper_seconds=60,
+    )
+    assert j.isStreaming
+    plan = j._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
