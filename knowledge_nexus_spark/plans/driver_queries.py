@@ -1151,6 +1151,55 @@ def sql_docs_hash_split():
     """
 
 
+PAGERANK_ITERS = 5
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/pagerank) over the deterministic
+    document link graph (the same CONTAINS/REFERENCES rules the pipeline
+    oracle uses). Integer rank units → exact cross-engine equality after
+    5 synchronous iterations."""
+    from knowledge_nexus_spark.operators.pagerank import pagerank_fixed_point
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    n = docs.count()
+    e1 = docs.select(
+        F.col("id").alias("src"), ((F.col("id") * 31 + 7) % n).alias("dst")
+    )
+    e2 = docs.select(
+        F.col("id").alias("src"), ((F.col("id") * 17 + 3) % n).alias("dst")
+    )
+    return pagerank_fixed_point(
+        docs, e1.unionByName(e2), iterations=PAGERANK_ITERS
+    ).select("id", "rank")
+
+
+def sql_kg_pagerank():
+    layers = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        layers.append(f"""
+    pr{i} AS (
+      SELECT n.id, CAST(150000 AS BIGINT) + (85 * COALESCE(s.recv, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT f.dst, sum(p.rank // f.outdeg) AS recv
+        FROM pr{i - 1} p JOIN fan f ON p.id = f.src GROUP BY f.dst) s
+      ON n.id = s.dst)""")
+    return f"""
+    WITH nn AS (SELECT count(*) AS c FROM documents),
+    nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+    edges AS (
+      SELECT id AS src, (id * 31 + 7) % (SELECT c FROM nn) AS dst FROM nodes
+      UNION ALL
+      SELECT id AS src, (id * 17 + 3) % (SELECT c FROM nn) AS dst FROM nodes),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    fan AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN outdeg d USING (src)),
+    pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),{",".join(layers)}
+    SELECT id, rank FROM pr{PAGERANK_ITERS}
+    """
+
+
 EVENT_KINDS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1221,6 +1270,7 @@ QUERIES = {
     "tpch_rollup": q_tpch_rollup,
     "events_pivot": q_events_pivot,
     "docs_hash_split": q_docs_hash_split,
+    "kg_pagerank": q_kg_pagerank,
 }
 
 ORACLE_SQL = {
@@ -1267,4 +1317,5 @@ ORACLE_SQL = {
     "tpch_rollup": sql_tpch_rollup(),
     "events_pivot": sql_events_pivot(),
     "docs_hash_split": sql_docs_hash_split(),
+    "kg_pagerank": sql_kg_pagerank(),
 }
