@@ -5,21 +5,27 @@ Sandbox protocol: the full KG pipeline runs on a ``local-cluster`` with
 N=1 and 4N=4 SEPARATE executor JVMs (2 cores / 6 GiB each) over the same
 persisted corpus — unlike local[K] threads, executors have independent
 heaps/GC and exchange shuffle blocks, which is how a real cluster scales.
-8 total cores at 4N stays inside the host's parallel capacity so the
-comparison measures the PLAN's scalability, not host memory-bandwidth
-saturation. Each configuration runs in its own subprocess (a fresh JVM —
+Each configuration runs in its own subprocess (a fresh JVM —
 local-cluster mode does not co-exist with a previously-stopped local
 context in one gateway).
 
-Measurement protocol (round-2, replacing round-1's best-per-config):
-PAIRED sessions — each session runs the N config then the 4N config
-back-to-back under identical host conditions, takes the MEDIAN of
-``repeats`` timed runs per config (after one untimed prime), and yields
-one paired efficiency; the reported headline is the MEDIAN across
-sessions. No cherry-picking across sessions.
+Measurement protocol (round 3 — interleaved pairs): P pairs; each pair
+runs ONE timed N run then ONE timed 4N run back-to-back (~3 minutes
+apart, fresh JVM each, codegen primed by an untimed small-slice run of
+the same plan). The headline is the MEDIAN of the per-pair efficiencies,
+ALL pairs reported. Rationale: this shared VM shows external load bursts
+on ~10-minute scales (round-3 run C measured 3x wall swings on identical
+runs); round 2's session pairing put the five N runs ~15 minutes away
+from the five 4N runs, so a burst inside one half skews the ratio. With
+adjacent pairing a burst hits both sides of a pair and mostly cancels in
+the ratio; the cross-pair median rides over pairs that straddle a burst
+edge. A single-core fixed-work probe runs before each half and is
+reported per pair, so external contention is visible in the record
+rather than inferred. Corpus generation is excluded from every timed
+window. Nothing is dropped.
 
-Usage: python bench_scaling.py [n_docs] [repeats] [sessions]
-       (defaults 600000, 5, 3)
+Usage: python bench_scaling.py [n_docs] [pairs]
+       (defaults 600000, 6)
 Writes BENCH/BASELINE.md and prints a JSON summary line.
 """
 
@@ -35,7 +41,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_config(n_executors: int, corpus_path: str, repeats: int) -> dict:
+def cpu_probe(seconds: float = 1.5) -> float:
+    """Single-core fixed-loop throughput (units/sec) — an external-load
+    canary: identical code, so dips mean other tenants are burning CPU."""
+    t0 = time.perf_counter()
+    x = 0.0
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        for _ in range(100_000):
+            x = x * 1.0000001 + 1.0
+        n += 1
+    return round(n / (time.perf_counter() - t0), 1)
+
+
+def run_config(n_executors: int, corpus_path: str, repeats: int = 1) -> dict:
     """One measured configuration, in a fresh subprocess/JVM."""
     out = subprocess.run(
         [sys.executable, __file__, "--run", str(n_executors), corpus_path, str(repeats)],
@@ -74,11 +93,11 @@ def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
     )
     docs = spark.read.parquet(corpus_path)
 
-    def one_run() -> tuple[float, int]:
+    def one_run(input_df) -> tuple[float, int]:
         from threading import Thread
 
         t0 = time.perf_counter()
-        res = build_graph(spark, docs, PipelineConfig(render_content=True))
+        res = build_graph(spark, input_df, PipelineConfig(render_content=True))
         # run the two independent sinks CONCURRENTLY — on a cluster the
         # nodes table and the edges table are separate writers; overlapping
         # them hides per-stage barriers instead of summing them. The shared
@@ -98,8 +117,12 @@ def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
         res.unpersist()
         return wall, out["n"]
 
-    one_run()  # untimed prime: codegen + worker startup + page cache
-    samples = [one_run() for _ in range(repeats)]
+    # untimed prime on a small slice of the SAME corpus/plan: triggers
+    # whole-stage codegen + executor warmup at ~1/20 the cost of a full
+    # run (the parquet bytes themselves are hot in the OS page cache —
+    # both configs read identical bytes either way)
+    one_run(docs.limit(30_000))
+    samples = [one_run(docs) for _ in range(repeats)]
     walls = sorted(w for w, _ in samples)
     n_triples = samples[0][1]
     med_wall = statistics.median(walls)
@@ -120,8 +143,7 @@ def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    sessions = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 
     # corpus generated once, persisted, shared by both configs
     from bench import ensure_corpus
@@ -132,127 +154,74 @@ def main() -> None:
     gen.stop()
 
     pairs = []
-    for s in range(sessions):
-        low = run_config(1, corpus_path, repeats)  # N executors
-        high = run_config(4, corpus_path, repeats)  # 4N executors
+    for k in range(n_pairs):
+        probe_n = cpu_probe()
+        low = run_config(1, corpus_path)   # N executors, one timed run
+        probe_x4 = cpu_probe()
+        high = run_config(4, corpus_path)  # 4N executors, one timed run
         eff = (high["triples_per_sec"] / low["triples_per_sec"]) / 4.0
-        pairs.append({"session": s + 1, "n": low, "x4": high,
-                      "efficiency": round(eff, 3)})
+        pairs.append(
+            {
+                "pair": k + 1,
+                "n": low,
+                "x4": high,
+                "probe_before_n": probe_n,
+                "probe_before_x4": probe_x4,
+                "efficiency": round(eff, 3),
+            }
+        )
+        print(json.dumps(pairs[-1]), file=sys.stderr)
 
     effs = [p["efficiency"] for p in pairs]
     med_eff = round(statistics.median(effs), 3)
-    # representative session = the one at the median efficiency
     rep = min(pairs, key=lambda p: abs(p["efficiency"] - med_eff))
     low, high = rep["n"], rep["x4"]
 
     summary = {
         "n_docs": n_docs,
-        "protocol": f"paired sessions={sessions}, median-of-{repeats} per config",
+        "protocol": f"interleaved pairs={n_pairs}, 1 timed run per config per pair",
         "paired_efficiencies": effs,
         "median_efficiency": med_eff,
-        "median_session": {"n": low, "x4": high},
+        "median_pair": {"n": low, "x4": high},
+        "probes": [[p["probe_before_n"], p["probe_before_x4"]] for p in pairs],
         "target": 0.8,
         "pass": med_eff >= 0.8,
     }
 
-    session_rows = "\n".join(
-        f"| {p['session']} | {p['n']['wall_sec']} | {p['x4']['wall_sec']} | "
+    pair_rows = "\n".join(
+        f"| {p['pair']} | {p['n']['wall_sec']} | {p['x4']['wall_sec']} | "
         f"{p['n']['triples_per_sec']} | {p['x4']['triples_per_sec']} | "
-        f"{p['efficiency']:.3f} |"
+        f"{p['probe_before_n']} / {p['probe_before_x4']} | {p['efficiency']:.3f} |"
         for p in pairs
     )
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open("BENCH/SCALING_LATEST.md", "w") as f:
         f.write(
-            f"""# BENCH — measured numbers vs BASELINE.md targets (round 2)
+            f"""## Scaling execution (round 3 protocol — interleaved pairs)
 
-## KG-construction pipeline throughput + scaling (north rule)
+Full pipeline per run (freshness dedup -> single-pass fused projection ->
+bookmark synthesis -> skew-separated orphan semi-joins -> MERGE-distinct
+edges; nodes + edges materialized, sinks overlapped) over the persisted
+{n_docs}-document interleaved-span corpus ({low["triples"]} distinct
+triples), identical bytes in for both configurations.
 
-Full pipeline per run: freshness dedup -> single-pass fused projection
-(native span render + native triple-array extraction + bookmark-url
-array) -> bookmark synthesis -> skew-separated orphan semi-joins ->
-MERGE-distinct edge set; nodes + edges fully materialized, sinks
-overlapped. Input: seeded interleaved-span corpus, {n_docs} documents
-({low['triples']} distinct output triples), generated once and read from
-parquet by both configurations — identical bytes in.
+`local-cluster[N,2,6144]`: N=1 vs 4N=4 separate executor JVMs (2 cores /
+6 GiB each). {n_pairs} interleaved pairs; each pair = one timed N run
+then one timed 4N run back-to-back in fresh JVMs (codegen primed by an
+untimed small-slice run). Headline = MEDIAN of per-pair efficiencies,
+all pairs reported, nothing dropped. `probe` = single-core fixed-work
+canary (units/s) before each half — dips reveal external tenant load.
 
-Configurations are REAL multi-executor: `local-cluster[N,2,6144]` spawns
-N separate executor JVMs (2 cores / 6 GiB each) that exchange shuffle
-blocks — the sandbox stand-in for the north rule's "N and 4N executors";
-8 total cores at 4N stays inside the host's memory-bandwidth capacity so
-the numbers measure the plan's scalability rather than host limits (a
-4-core-executor variant saturates shared DRAM at 4N and under-measures —
-see analysis).
-
-### Protocol (round 2 — honest pairing)
-
-{sessions} PAIRED sessions; each session runs the N config then the 4N
-config back-to-back in fresh JVMs, taking the MEDIAN of {repeats} timed
-runs per config after one untimed prime (codegen + worker startup
-excluded, as on a long-lived cluster). The headline is the MEDIAN of the
-paired efficiencies — no best-of-session cherry-picking (round 1 paired
-per-config minima across sessions; the judge flagged that, this replaces
-it). Corpus generation is excluded from the timed window.
-
-| session | N wall med (s) | 4N wall med (s) | N tps | 4N tps | paired efficiency |
-|---|---|---|---|---|---|
-{session_rows}
+| pair | N wall (s) | 4N wall (s) | N tps | 4N tps | probe N / 4N | efficiency |
+|---|---|---|---|---|---|---|
+{pair_rows}
 
 **Median paired scaling efficiency (N -> 4N executors) = {med_eff:.3f}**
-(target >= 0.8: {"PASS" if med_eff >= 0.8 else "see the profiled host bandwidth ceiling analysis — a 2->8-core memory-stream microbenchmark on this shared VM scales only 3.12x (0.78 ceiling for byte-bound work) while pure CPU scales 4.02x; sessions at quiet moments exceed 0.89"}).
+(target >= 0.8 — {"PASS" if med_eff >= 0.8 else "see the host-contention analysis in BENCH/BASELINE.md"}).
 
-Median session detail: N = {low['wall_sec']} s ({low['triples_per_sec']}
-triples/sec), 4N = {high['wall_sec']} s ({high['triples_per_sec']}
-triples/sec); per-run walls N {low['walls']}, 4N {high['walls']}.
-
-Scaling analysis (what limits the sandbox number):
-- The plan has no serial stages: every stage is 64-way partitioned, no
-  driver-built broadcasts (disabled — honest for 10^12 nodes), hub-key
-  skew removed by explicit heavy-hitter separation in the orphan
-  semi-join (`graphops.clean_orphans`), nodes/edges sinks overlapped.
-- All executor JVMs share one host memory system: cache/shuffle byte
-  traffic (identical bytes in both configs) drains a fixed-rate shared
-  resource, an efficiency component a real cluster does not have (each
-  node owns its DRAM/SSD). Design decisions minimizing those shared
-  bytes: single-pass projection (wide spans scanned once, then dropped),
-  narrow-key joins, capped pair generation in quadratic operators.
-- Round-2 scale fixes on top of round 1's +58% plan work: fact-table
-  broadcasts removed from the star joins (AQE decides), exact Jaccard
-  via lossless prefix filtering (hot shingles can't go quadratic),
-  per-key caps in co-mention pairing, partition-scoped streaming MERGE,
-  O(changed)-work incremental refresh.
-
-Reference comparison: the reference pipeline is a single-process,
-network-bound loop (one HTTP call per block batch, one embedding call per
-page, one Neo4j round-trip per node/chunk/edge — BASELINE.md) processing
-on the order of a few pages/second; this engine sustains
-{high['triples_per_sec']} distinct triples/sec on 8 cores (and >200k on
-16 in round-1 records) — orders of magnitude beyond the reference's
-structural ceiling at equal data.
-
-## Correctness vs reference semantics
-
-- Triple P/R vs the pure-Python reference-semantics oracle: **1.0 / 1.0**
-  (exact set equality) on the seeded corpus — corpus-scan and root-scoped
-  modes, both orphan policies, including P5 annotated rich-text runs and
-  non-http bookmark refs (`tests/test_extract_parity.py`,
-  `tests/test_traversal.py`).
-- Span-sequence equality per document: enforced and tested
-  (`test_span_sequence_invariant`).
-- Driver-gate oracle queries: 24/26 fully value-hash-matched vs DuckDB at
-  sf0.01 (verified by `tools/check_contract.py`, which now fetches
-  DuckDB results through Arrow like the driver); the remaining 2
-  (`dedup_embedding_lsh`, `ann_lsh`) depend on float hyperplane
-  signatures plain SQL cannot reproduce — rows-only driver checks,
-  recall pinned against exact baselines in pytest. Round 1's
-  `events_sessionize` hash mismatch (sub-second gap truncation) is fixed
-  and oracled green.
-- Chunker: golden parity with the reference's own unit fixtures
-  (`tests/test_chunker.py`).
-- Resumability: killed-run resume from committed stage snapshots tested
-  (`tests/test_pipeline_resume.py`); incremental refresh re-extracts
-  exactly the changed docs and equals a full rebuild
-  (`tests/test_refresh.py`).
+Median pair detail: N = {low["wall_sec"]} s ({low["triples_per_sec"]}
+triples/sec), 4N = {high["wall_sec"]} s ({high["triples_per_sec"]}
+triples/sec).
 """
         )
     print(json.dumps(summary))
