@@ -117,11 +117,15 @@ def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
         res.unpersist()
         return wall, out["n"]
 
-    # untimed prime on a small slice of the SAME corpus/plan: triggers
-    # whole-stage codegen + executor warmup at ~1/20 the cost of a full
-    # run (the parquet bytes themselves are hot in the OS page cache —
-    # both configs read identical bytes either way)
+    # untimed prime, two parts: (a) a small-slice pipeline run triggers
+    # whole-stage codegen + executor warmup at ~1/20 full-run cost;
+    # (b) a full corpus scan pulls the parquet into the OS page cache —
+    # without it the first timed run measures cold-disk I/O, which on this
+    # throttled cloud disk dwarfs compute (a 30 s 4N run became 296 s) and
+    # measures storage, not the plan. A long-lived cluster reads hot data;
+    # both configs get identical warm bytes.
     one_run(docs.limit(30_000))
+    docs.write.format("noop").mode("overwrite").save()
     samples = [one_run(docs) for _ in range(repeats)]
     walls = sorted(w for w, _ in samples)
     n_triples = samples[0][1]

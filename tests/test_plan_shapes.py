@@ -136,3 +136,45 @@ def test_merge_sources_and_group_mentions(spark):
     grouped = {r.label: (set(r.mentions), r.n_distinct) for r in group_mentions(m).collect()}
     assert grouped["ORG"] == ({"acme", "umbrella"}, 2)
     assert grouped["LOC"] == ({"berlin"}, 1)
+
+
+def test_asof_join_single_exchange(spark):
+    """The as-of join is one shuffle on the key: exactly one
+    hash-partitioning Exchange (union + window), never a join operator."""
+    from knowledge_nexus_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    plan = (
+        asof_join(left, right, on="user_id", right_cols=["ts", "event_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_hll_partial_aggregation(spark):
+    """Register build must partially aggregate map-side (two HashAggregate
+    levels per groupBy): the shuffle carries m rows per group, not rows."""
+    from knowledge_nexus_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(hll_distinct(ev, "event_type", "event_id"))
+    assert plan.count("HashAggregate") >= 4  # partial+final × two groupBys
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_pagerank_iteration_is_pure_jvm(spark):
+    from knowledge_nexus_spark.operators.pagerank import pagerank_fixed_point
+
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(20)], "src long, dst long"
+    )
+    plan = _plan(pagerank_fixed_point(nodes, edges, iterations=2))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
