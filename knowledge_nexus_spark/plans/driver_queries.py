@@ -1151,6 +1151,108 @@ def sql_docs_hash_split():
     """
 
 
+def q_dedup_bigram_jaccard(spark, sf_dir):
+    """Exact bigram-shingle Jaccard near-dup pairs — the n-gram member of
+    the dedup family (same lossless prefix-filtered inverted index as the
+    unigram query, shingles are word 2-grams)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_dedup_bigram_jaccard():
+    # bigram construction mirrors operators/dedup._token_shingles(n=2)
+    # exactly, including the single-token-doc edge (emits the token itself)
+    return """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(tk) - 1, 1)),
+               j -> array_to_string(tk[j + 1 : j + 2], ' '))) AS t
+      FROM toks),
+    sizes AS (SELECT doc_id, len(t) AS s FROM sh),
+    inv AS (SELECT doc_id, unnest(t) AS tok FROM sh),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b,
+           round(CAST(c AS DOUBLE) / (sa.s + sb.s - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = ia
+    JOIN sizes sb ON sb.doc_id = ib
+    WHERE CAST(c AS DOUBLE) / (sa.s + sb.s - c) >= 0.8
+    """
+
+
+def q_tpch_q17_adapted(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    aggregate — lineitems below 20% of their part's average quantity.
+    The correlation is decorrelated into a grouped join (Catalyst's and
+    the hand-written form coincide); the avg comparison is exact via
+    decimal cross-multiplication (5·qty·cnt < sum·100/20 ⇔ qty < 0.2·avg
+    without any float division)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec(F.col("l_quantity"), 18, 4)).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    joined = li.join(per_part, li["l_partkey"] == F.col("pk"))
+    small = joined.filter(
+        _dec(F.col("l_quantity"), 18, 4) * 5 * F.col("cnt") < F.col("sq")
+    )
+    return small.agg(
+        F.round((F.sum(_dec(F.col("l_extendedprice"))) / 7).cast("double"), 2).alias(
+            "avg_yearly"
+        )
+    )
+
+
+def sql_tpch_q17_adapted():
+    return """
+    WITH pp AS (
+      SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7 AS DOUBLE), 2) AS avg_yearly
+    FROM lineitem JOIN pp ON l_partkey = pk
+    WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sq
+    """
+
+
+def q_text_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams (n-gram vocabulary mining): explode
+    per-doc bigram MULTISET (positions, not distinct), one partial-agg
+    count shuffle, deterministic tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+def sql_text_ngrams():
+    return """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(
+               range(0, greatest(len(tk) - 1, 1)),
+               j -> array_to_string(tk[j + 1 : j + 2], ' '))) AS bigram
+      FROM toks)
+    SELECT bigram, count(*) AS n FROM bg
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """
+
+
 PAGERANK_ITERS = 5
 
 
@@ -1271,6 +1373,9 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "docs_hash_split": q_docs_hash_split,
     "kg_pagerank": q_kg_pagerank,
+    "dedup_bigram_jaccard": q_dedup_bigram_jaccard,
+    "tpch_q17_adapted": q_tpch_q17_adapted,
+    "text_ngrams": q_text_ngrams,
 }
 
 ORACLE_SQL = {
@@ -1318,4 +1423,7 @@ ORACLE_SQL = {
     "events_pivot": sql_events_pivot(),
     "docs_hash_split": sql_docs_hash_split(),
     "kg_pagerank": sql_kg_pagerank(),
+    "dedup_bigram_jaccard": sql_dedup_bigram_jaccard(),
+    "tpch_q17_adapted": sql_tpch_q17_adapted(),
+    "text_ngrams": sql_text_ngrams(),
 }
