@@ -9,8 +9,10 @@ data_source/notion_provider.py:55-59).
                ``last(..., ignorenulls)`` — ONE shuffle on the key, no
                per-row Python, no range explosion; the classic scalable
                as-of plan. At 10^12 rows this is a single hash-partitioned
-               sort per key group; a skewed key falls to AQE skew-split
-               because the window key is the join key.
+               sort per key group. As-of matching is inherently per-key
+               sequential (like sessionization), so a hot key is bounded
+               by that key's own row count — pre-filter or split hot keys
+               by time range upstream if one key dominates the corpus.
   range_join — left rows paired with right rows whose ts lies in
                [left_ts + lower, left_ts + upper] on the same key.
                Implemented by time-bucketing: right is keyed by
