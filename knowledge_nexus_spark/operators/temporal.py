@@ -38,6 +38,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     strict: bool = False,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join preserving ALL left columns plus
     ``matched_<c>`` for each requested right column (null when no right
@@ -50,10 +51,18 @@ def asof_join(
     total. Deterministic under timestamp ties: among right rows sharing
     the greatest admissible ts, the largest payload tuple (field order =
     ``right_cols``) wins; the oracle SQL mirrors this exactly.
+
+    ``tolerance_seconds``: a match older than ``left_ts − tolerance`` is
+    nulled out (pandas ``merge_asof(tolerance=...)`` semantics, inclusive
+    boundary, exact integer-µs comparison). The payload internally carries
+    the matched right ts (leading struct field — ties still break on it
+    first, same order as without it), so no extra shuffle is needed.
     """
     right_cols = right_cols or [c for c in right.columns if c != on]
 
-    rpayload = F.struct(*[F.col(c) for c in right_cols])
+    rpayload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
@@ -84,6 +93,14 @@ def asof_join(
         .withColumn("_m", F.last(F.col("_rp"), ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if tolerance_seconds is not None:
+        gap_us = F.unix_micros(F.col("_t").cast("timestamp")) - F.unix_micros(
+            F.col("_m")["__rts"].cast("timestamp")
+        )
+        matched = matched.withColumn(
+            "_m",
+            F.when(gap_us <= F.lit(int(tolerance_seconds * 1_000_000)), F.col("_m")),
+        )
     out_cols = [F.col("_lp")[c].alias(c) for c in left.columns]
     out_cols += [F.col("_m")[c].alias(f"matched_{c}") for c in right_cols]
     return matched.select(*out_cols)

@@ -171,3 +171,44 @@ def test_range_join_plan_is_equijoin(spark, events):
         left, right, on="user_id", lower_seconds=-60.0, upper_seconds=60.0
     )._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_tolerance(spark):
+    t0 = BASE
+    left = spark.createDataFrame(
+        [(1, 10, t0 + dt.timedelta(seconds=100)), (2, 11, t0 + dt.timedelta(seconds=100))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(5, 10, t0), (6, 11, t0 + dt.timedelta(seconds=40))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["matched_event_id"]
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["ts", "event_id"],
+            tolerance_seconds=60.0,
+        ).collect()
+    }
+    assert out[1] is None       # gap 100s > tolerance
+    assert out[2] == 6          # gap 60s == tolerance (inclusive)
+
+
+def test_asof_tolerance_matches_pandas(spark, events):
+    left = events.filter(F.col("event_type") == "a").select("event_id", "user_id", "ts")
+    right = events.filter(F.col("event_type") == "b").select("user_id", "ts", "event_id")
+
+    got = (
+        asof_join(left, right, on="user_id", right_cols=["ts", "event_id"],
+                  tolerance_seconds=3600.0)
+        .select("event_id", "matched_event_id")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    exp = pd.merge_asof(
+        lp, rp.rename(columns={"event_id": "matched_event_id", "ts": "r_ts"}),
+        left_on="ts", right_on="r_ts", by="user_id", direction="backward",
+        tolerance=pd.Timedelta(seconds=3600),
+    )[["event_id", "matched_event_id"]].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
