@@ -920,6 +920,53 @@ def sql_events_asof():
     """
 
 
+def q_events_asof_tolerance(spark, sf_dir):
+    """As-of join with a 1-hour tolerance: matches staler than the window
+    are nulled (pandas merge_asof(tolerance=...) semantics)."""
+    from knowledge_nexus_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_cols=["event_id"],
+        tolerance_seconds=3600.0,
+    )
+    return j.select(
+        "event_id", "user_id", F.col("matched_event_id").alias("click_event_id")
+    )
+
+
+def sql_events_asof_tolerance():
+    return """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         u AS (
+           SELECT user_id, ts AS t, 1 AS side, event_id AS l_eid,
+                  CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS TIMESTAMP) AS r_ts
+           FROM l
+           UNION ALL
+           SELECT user_id, ts, 0, NULL, event_id, ts FROM r),
+         m AS (
+           SELECT user_id, t, side, l_eid,
+                  last_value(r_eid IGNORE NULLS) OVER w AS m_eid,
+                  last_value(r_ts IGNORE NULLS) OVER w AS m_ts
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY t, side, r_ts, r_eid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT l_eid AS event_id, user_id,
+           CASE WHEN epoch_us(t) - epoch_us(m_ts) <= 3600000000 THEN m_eid END AS click_event_id
+    FROM m WHERE side = 1
+    """
+
+
 def q_events_range_agg(spark, sf_dir):
     """Range join: purchases within the 2 hours ending at each error
     event, per user (operators/temporal.range_join — time-bucketed
@@ -1363,6 +1410,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
     "events_asof": q_events_asof,
+    "events_asof_tolerance": q_events_asof_tolerance,
     "events_range_agg": q_events_range_agg,
     "text_quality": q_text_quality,
     "events_hll": q_events_hll,
@@ -1413,6 +1461,7 @@ ORACLE_SQL = {
     "events_sessionize": sql_events_sessionize(),
     "events_session_window": sql_events_session_window(),
     "events_asof": sql_events_asof(),
+    "events_asof_tolerance": sql_events_asof_tolerance(),
     "events_range_agg": sql_events_range_agg(),
     "text_quality": sql_text_quality(),
     "events_hll": sql_events_hll(),
