@@ -1328,11 +1328,17 @@ def q_kg_pagerank(spark, sf_dir):
 def sql_kg_pagerank():
     layers = []
     for i in range(1, PAGERANK_ITERS + 1):
+        # DuckDB widens sum(BIGINT) to HUGEINT, which Arrow serialises as
+        # decimal128(38,0) — a schema/value-type mismatch vs Spark's BIGINT
+        # even when the values are equal. CAST both the partial sum and the
+        # final rank back to BIGINT so the two engines emit identical types.
         layers.append(f"""
     pr{i} AS (
-      SELECT n.id, CAST(150000 AS BIGINT) + (85 * COALESCE(s.recv, 0)) // 100 AS rank
+      SELECT n.id,
+             CAST(CAST(150000 AS BIGINT)
+                  + (85 * COALESCE(s.recv, 0)) // 100 AS BIGINT) AS rank
       FROM nodes n LEFT JOIN (
-        SELECT f.dst, sum(p.rank // f.outdeg) AS recv
+        SELECT f.dst, CAST(sum(p.rank // f.outdeg) AS BIGINT) AS recv
         FROM pr{i - 1} p JOIN fan f ON p.id = f.src GROUP BY f.dst) s
       ON n.id = s.dst)""")
     return f"""

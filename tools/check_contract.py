@@ -23,6 +23,7 @@ TABLES = [
 
 def norm_cell(v) -> str:
     import datetime
+    import decimal
     import math
 
     if v is None:
@@ -33,6 +34,12 @@ def norm_cell(v) -> str:
         return f"{v:.10g}"
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, decimal.Decimal):
+        # Tag Decimals so an oracle that silently widens to HUGEINT /
+        # decimal128 (DuckDB sum(BIGINT)) hash-MISMATCHES against Spark's
+        # plain int, like the driver's gate does — round-3's kg_pagerank
+        # red cell passed locally precisely because str(Decimal) == str(int).
+        return f"dec:{v}"
     return str(v)
 
 
@@ -61,6 +68,12 @@ def main() -> int:
 
     qs, osql = e.queries(), e.oracle_sql()
     if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+            print(f"known: {sorted(qs)}", file=sys.stderr)
+            spark.stop()
+            return 2
         qs = {k: v for k, v in qs.items() if k in only}
     else:
         df = e.entry(spark)
