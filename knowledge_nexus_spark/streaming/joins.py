@@ -50,14 +50,19 @@ def stream_interval_join(
         *[F.col(c).alias(f"r_{c}") for c in right.columns if c != on],
     )
 
-    lo = int(lower_seconds * 1_000_000)
-    hi = int(upper_seconds * 1_000_000)
-    delta = F.unix_micros(F.col(f"r_{right_ts}").cast("timestamp")) - F.unix_micros(
-        F.col(left_ts).cast("timestamp")
-    )
+    # The range bound must be expressed as raw timestamp comparisons with
+    # interval literals (r_ts >= ts + INTERVAL ... SECOND): Spark's
+    # StreamingJoinHelper can only solve THAT shape for state-eviction
+    # predicates. unix_micros() arithmetic joins correctly but leaves
+    # "state cleanup [ left = null, right = null ]" — unbounded state on a
+    # continuous stream. Interval literals are µs-precision, so the
+    # boundaries stay exactly equal to the batch range_join's integer-µs
+    # semantics (pinned by test_stream_interval_join_matches_batch).
+    rts = F.col(f"r_{right_ts}")
+    lts = F.col(left_ts)
     cond = (
         (F.col(on) == F.col("_rk"))
-        & (delta >= F.lit(lo))
-        & (delta <= F.lit(hi))
+        & (rts >= lts + F.expr(f"INTERVAL '{lower_seconds:.6f}' SECOND"))
+        & (rts <= lts + F.expr(f"INTERVAL '{upper_seconds:.6f}' SECOND"))
     )
     return l.join(r, cond, "inner").drop("_rk")

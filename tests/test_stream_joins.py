@@ -64,7 +64,11 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
 
 def test_stream_interval_join_is_stateful_streaming_plan(spark, tmp_path):
     """The streaming plan must be a stream-stream join with watermarks on
-    both sides (state cleanup enabled), not an unbounded join."""
+    both sides AND derivable state-eviction predicates — watermark nodes
+    alone are not enough: a condition Spark's StreamingJoinHelper cannot
+    solve (e.g. unix_micros() arithmetic) executes with
+    'state cleanup [ left = null, right = null ]' and join state grows
+    unboundedly on a continuous stream."""
     ev = spark.read.parquet(f"{SF}/events.parquet").limit(10)
     d = str(tmp_path / "in")
     ev.write.parquet(d)
@@ -80,3 +84,20 @@ def test_stream_interval_join_is_stateful_streaming_plan(spark, tmp_path):
     assert j.isStreaming
     plan = j._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+    # Execute one availableNow micro-batch and inspect the EXECUTED plan:
+    # the state-cleanup predicates must be materialized, not null.
+    q = (
+        j.select("event_id", "r_event_id")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    executed = q._jsq.explainInternal(True)
+    cleanup = [ln for ln in executed.splitlines() if "state cleanup" in ln]
+    assert cleanup, "executed plan has no StreamingSymmetricHashJoin"
+    assert "left = null" not in cleanup[0] and "left value predicate:" in cleanup[0]
+    assert "right = null" not in cleanup[0] and "right value predicate:" in cleanup[0]
