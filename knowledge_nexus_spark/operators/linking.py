@@ -98,6 +98,96 @@ def link_entities(
     )
 
 
+def link_entities_native(
+    mentions: DataFrame,
+    entities: DataFrame,
+    threshold: float = 0.5,
+    num_tables: int = 8,
+) -> DataFrame:
+    """Dual-engine entity linking: md5-MinHash banded blocking over
+    character 3-gram shingles, exact-Jaccard verify on candidates only,
+    deterministic best-entity re-rank (jaccard desc, entity_id asc).
+
+    The fully-oracled sibling of ``link_entities``: Spark ML's MinHash
+    family has no SQL analogue, so J10 was pytest-only; this variant's
+    signature is ``dedup.md5_hash64`` (reproducible in any SQL engine),
+    making mention→entity matches value-hash-verifiable at the driver
+    gate. Same scale shape: the (band, key) equi-join is the blocking —
+    never a cross product — and candidates travel as ids only, shingle
+    sets re-joined per side after the pair dedup.
+
+    mentions(mention_id, mention) × entities(entity_id, name) →
+    (mention_id, mention, entity_id, jaccard)."""
+    from knowledge_nexus_spark.operators.dedup import md5_hash64
+
+    m = (
+        mentions.select("mention_id", "mention")
+        .filter(F.length("mention") >= 3)
+        .distinct()
+        .withColumn("sh", _char_shingles(F.col("mention")))
+        .withColumn("sz", F.size("sh"))
+    )
+    e = (
+        entities.select("entity_id", "name")
+        .filter(F.length("name") >= 3)
+        .distinct()
+        .withColumn("sh", _char_shingles(F.col("name")))
+        .withColumn("sz", F.size("sh"))
+    )
+
+    def banded(df, keys):
+        tok = df.select(*keys, F.explode("sh").alias("g"))
+        sig = tok.groupBy(*keys).agg(*[
+            F.min(
+                md5_hash64(F.concat_ws(":", F.lit(str(i)), F.col("g")))
+            ).alias(f"_k{i}")
+            for i in range(num_tables)
+        ])
+        return sig.select(
+            *keys,
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("band"), F.col(f"_k{i}").alias("key"))
+                    for i in range(num_tables)
+                ])
+            ).alias("bk"),
+        ).select(*keys, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        banded(m, ["mention_id"])
+        .join(banded(e, ["entity_id"]), ["band", "key"])
+        .select("mention_id", "entity_id")
+        .dropDuplicates(["mention_id", "entity_id"])
+    )
+
+    scored = (
+        cand.join(m.select("mention_id", "mention", "sh", "sz"), "mention_id")
+        .join(
+            e.select(
+                "entity_id",
+                F.col("sh").alias("esh"),
+                F.col("sz").alias("esz"),
+            ),
+            "entity_id",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh", "esh")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz") + F.col("esz") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+    w = Window.partitionBy("mention_id", "mention").orderBy(
+        F.col("jaccard").desc(), F.col("entity_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("mention_id", "mention", "entity_id", "jaccard")
+    )
+
+
 def detect_mentions(documents: DataFrame) -> DataFrame:
     """Mention detection (P17 stand-in for spaCy NER, entity_extractor.py:16-28):
     link anchor texts inside rich-text spans are the high-precision mention

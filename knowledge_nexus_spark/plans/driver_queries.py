@@ -1381,6 +1381,147 @@ def sql_events_pivot():
     """
 
 
+def q_kg_linking(spark, sf_dir):
+    """Entity linking (J10) under the hard gate via the dual-engine
+    variant: mentions are deterministic corruptions of part names (first
+    character dropped), entities the full names; md5-MinHash banded
+    blocking + exact char-3-gram Jaccard + best-entity re-rank. The Spark
+    ML LSH path (link_entities) stays pinned by pytest; this one's hash
+    is SQL-reproducible."""
+    from knowledge_nexus_spark.operators.linking import link_entities_native
+
+    part = _t(spark, sf_dir, "part")
+    entities = part.select(
+        F.col("p_partkey").cast("long").alias("entity_id"),
+        F.col("p_name").alias("name"),
+    )
+    mentions = part.select(
+        F.col("p_partkey").cast("long").alias("mention_id"),
+        F.substring(F.col("p_name"), 2, 1 << 20).alias("mention"),
+    )
+    out = link_entities_native(mentions, entities, threshold=0.5, num_tables=8)
+    return out.select(
+        "mention_id",
+        "mention",
+        "entity_id",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def sql_kg_linking():
+    return """
+    WITH ments AS (
+      SELECT DISTINCT CAST(p_partkey AS BIGINT) AS mention_id,
+             substr(p_name, 2) AS mention
+      FROM part WHERE length(substr(p_name, 2)) >= 3),
+    ents AS (
+      SELECT DISTINCT CAST(p_partkey AS BIGINT) AS entity_id, p_name AS name
+      FROM part WHERE length(p_name) >= 3),
+    msh AS (
+      SELECT mention_id, mention,
+             list_distinct(list_transform(
+               range(1, greatest(length(mention) - 2, 1) + 1),
+               i -> substr(lower(mention), CAST(i AS INT), 3))) AS sh
+      FROM ments),
+    eshs AS (
+      SELECT entity_id, name,
+             list_distinct(list_transform(
+               range(1, greatest(length(name) - 2, 1) + 1),
+               i -> substr(lower(name), CAST(i AS INT), 3))) AS sh
+      FROM ents),
+    msig AS (
+      SELECT mention_id, i,
+             min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT)) AS key
+      FROM (SELECT mention_id, unnest(sh) AS g FROM msh)
+      CROSS JOIN (SELECT unnest(range(8)) AS i) bands
+      GROUP BY mention_id, i),
+    esig AS (
+      SELECT entity_id, i,
+             min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT)) AS key
+      FROM (SELECT entity_id, unnest(sh) AS g FROM eshs)
+      CROSS JOIN (SELECT unnest(range(8)) AS i) bands
+      GROUP BY entity_id, i),
+    cand AS (
+      SELECT DISTINCT m.mention_id, e.entity_id
+      FROM msig m JOIN esig e ON m.i = e.i AND m.key = e.key),
+    scored AS (
+      SELECT c.mention_id, ms.mention, c.entity_id,
+             CAST(len(list_intersect(ms.sh, es.sh)) AS DOUBLE)
+               / (len(ms.sh) + len(es.sh) - len(list_intersect(ms.sh, es.sh))) AS jacc
+      FROM cand c
+      JOIN msh ms ON ms.mention_id = c.mention_id
+      JOIN eshs es ON es.entity_id = c.entity_id)
+    SELECT mention_id, mention, entity_id, round(jacc, 6) AS jaccard
+    FROM scored WHERE jacc >= 0.5
+    QUALIFY row_number() OVER (
+      PARTITION BY mention_id, mention ORDER BY jacc DESC, entity_id) = 1
+    """
+
+
+CHUNK_SIZE, CHUNK_OVERLAP = 40, 8
+# Header "Title: Doc {id}\nLast edited time: {ts}\n\nContent:\n" with a
+# space-free timestamp tokenizes to exactly 8 whitespace tokens, so the
+# per-chunk body budget is CHUNK_SIZE - 8 (the Spark side computes this
+# through the real tokenizer; the oracle bakes in the constant).
+_HDR_TOKENS = 8
+_CHUNK_TS = "2024-01-01T00:00:00Z"
+
+
+def q_kg_chunks(spark, sf_dir):
+    """Chunker stage (W5 + S10 + J4) under the hard gate: the REAL
+    chunk_and_embed operator (mapInPandas → create_chunks, reference
+    content_chunker_and_embedder.py:49-121) over the documents corpus.
+    The corpus text is single-space words with no sentence punctuation,
+    so the sentence snap-back is the identity and chunk boundaries are
+    exact fixed token windows — which the DuckDB oracle reproduces in
+    closed form (the snap-back branch itself is pinned by the golden
+    tests in tests/test_chunker.py)."""
+    from knowledge_nexus_spark.operators.chunking import chunk_and_embed
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.concat(F.lit("Doc "), F.col("doc_id")).alias("title"),
+        F.lit(_CHUNK_TS).alias("last_edited_time"),
+        F.col("text").alias("content"),
+        F.lit("Page").alias("type"),
+    )
+    ch = chunk_and_embed(docs, chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP, dim=8)
+    return ch.select(
+        "page_id",
+        F.col("sequence").cast("long").alias("sequence"),
+        F.length("content").cast("long").alias("n_chars"),
+        F.md5(F.col("content")).alias("chunk_md5"),
+    )
+
+
+def sql_kg_chunks():
+    a = CHUNK_SIZE - _HDR_TOKENS          # per-chunk body token budget
+    stride = a - CHUNK_OVERLAP            # window advance (no punctuation)
+    return f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS page_id,
+             'Title: Doc ' || doc_id || chr(10) ||
+             'Last edited time: {_CHUNK_TS}' || chr(10) || chr(10) ||
+             'Content:' || chr(10) AS hdr,
+             string_split(text, ' ') AS tk
+      FROM documents),
+    n AS (
+      SELECT page_id, hdr, tk,
+             CASE WHEN len(tk) <= {a} THEN 1
+                  ELSE 1 + CAST(ceil((len(tk) - {a}) / {stride}.0) AS BIGINT)
+             END AS nchunks
+      FROM d),
+    s AS (SELECT page_id, hdr, tk, unnest(range(nchunks)) AS sequence FROM n),
+    c AS (
+      SELECT page_id, sequence,
+             hdr || array_to_string(
+               tk[sequence * {stride} + 1 : sequence * {stride} + {a}], ' ') AS chunk
+      FROM s)
+    SELECT page_id, sequence, length(chunk) AS n_chars, md5(chunk) AS chunk_md5
+    FROM c
+    """
+
+
 # ----------------------------------------------------------------- registry --
 
 QUERIES = {
@@ -1430,6 +1571,8 @@ QUERIES = {
     "dedup_bigram_jaccard": q_dedup_bigram_jaccard,
     "tpch_q17_adapted": q_tpch_q17_adapted,
     "text_ngrams": q_text_ngrams,
+    "kg_chunks": q_kg_chunks,
+    "kg_linking": q_kg_linking,
 }
 
 ORACLE_SQL = {
@@ -1481,4 +1624,6 @@ ORACLE_SQL = {
     "dedup_bigram_jaccard": sql_dedup_bigram_jaccard(),
     "tpch_q17_adapted": sql_tpch_q17_adapted(),
     "text_ngrams": sql_text_ngrams(),
+    "kg_chunks": sql_kg_chunks(),
+    "kg_linking": sql_kg_linking(),
 }

@@ -45,6 +45,43 @@ def test_best_match_wins(spark):
     assert len(rows) == 1 and rows[0].entity_id == "exact"
 
 
+def test_native_linking_recovers_source_names(spark):
+    """link_entities_native: every first-char-dropped part-name mention must
+    link to an entity with the mention's own source name (duplicated names
+    tie-break to the lowest entity_id, so compare names, not keys)."""
+    from knowledge_nexus_spark.operators.linking import link_entities_native
+
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    entities = part.select(
+        F.col("p_partkey").cast("long").alias("entity_id"),
+        F.col("p_name").alias("name"),
+    )
+    mentions = part.select(
+        F.col("p_partkey").cast("long").alias("mention_id"),
+        F.expr("substr(p_name, 2)").alias("mention"),
+    )
+    linked = link_entities_native(mentions, entities, threshold=0.5)
+    joined = (
+        linked.join(
+            part.select(
+                F.col("p_partkey").cast("long").alias("mention_id"),
+                F.col("p_name").alias("true_name"),
+            ),
+            "mention_id",
+        )
+        .join(entities, "entity_id")
+    )
+    n_mentions = mentions.count()
+    rows = joined.collect()
+    assert len(rows) == n_mentions, "every corrupted mention must link"
+    # The winner is the source name — unless dropping the first char lands
+    # exactly on ANOTHER entity's name ("cold widget" → "old widget"),
+    # where the exact match correctly outranks the corrupted parent.
+    assert all(r.name == r.true_name or r.name == r.mention for r in rows)
+    exact = [r for r in rows if r.name == r.mention]
+    assert all(r.jaccard == 1.0 for r in exact)
+
+
 def test_detect_mentions_extracts_anchors(spark):
     docs = generate_documents(spark, CorpusConfig(n_docs=40, seed=3))
     m = detect_mentions(docs)
