@@ -150,26 +150,38 @@ def knn_self_join(
     band_planes: int = 6,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate k-NN per row: banded candidate join + per-id window top-k."""
+    """Approximate k-NN per row: banded candidate join + per-id window top-k.
+
+    Shuffle-width note (mirrors ``dedup.embedding_neardup_pairs``): the
+    banded explode and the (band, key) self-join carry ONLY (id, band, key)
+    — the bands×rows explosion and bucket shuffle move ~16 bytes/row, not
+    two embedding arrays per candidate. Vectors re-join once per side
+    AFTER the (id, neighbor) dedup, so each embedding crosses the wire
+    once per side of a surviving pair instead of ``bands`` times per row.
+    Pinned by test_plan_shapes (no array column below the band Exchange)."""
     from knowledge_nexus_spark.operators.dedup import _banded
 
-    banded = _banded(df, id_col, vec_col, dim, bands, band_planes, seed)
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    banded = _banded(keyed, "id", "vec", dim, bands, band_planes, seed).select(
+        "id", "band", "key"
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("a.id") != F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id"),
-            F.col("b.id").alias("neighbor"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor"))
         .dropDuplicates(["id", "neighbor"])
+    )
+    va = keyed.select(F.col("id").alias("id"), F.col("vec").alias("va"))
+    vb = keyed.select(F.col("id").alias("neighbor"), F.col("vec").alias("vb"))
+    scored = (
+        cand.join(va, "id")
+        .join(vb, "neighbor")
         .withColumn("score", cosine_col(F.col("va"), F.col("vb")))
     )
     w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("neighbor"))
     return (
-        cand.withColumn("_rk", F.row_number().over(w))
+        scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .select("id", "neighbor", "score")
     )

@@ -168,6 +168,35 @@ def test_hll_partial_aggregation(spark):
         assert marker not in plan
 
 
+def test_knn_self_join_band_shuffle_is_narrow(spark):
+    """The (band, key) candidate self-join must shuffle (id, band, key)
+    only — an Exchange that carries the embedding array moves every
+    vector `bands` times per row (round-3 What's-wrong #2)."""
+    import re
+
+    from knowledge_nexus_spark.operators.similarity import knn_self_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    # At test SF AQE broadcasts the band join (no hash Exchange to inspect);
+    # disable broadcast so the shuffle the 100 TB plan would take is visible.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(knn_self_join(emb, "vec_id", "embedding", k=3, dim=dim))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    blocks = re.findall(
+        r"Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning\(band",
+        plan,
+    )
+    assert blocks, "no (band, key) Exchange found in the candidate join plan"
+    for inputs in blocks:
+        assert "vec" not in inputs and "embedding" not in inputs, (
+            f"band Exchange carries an array column: [{inputs}]"
+        )
+
+
 def test_pagerank_iteration_is_pure_jvm(spark):
     from knowledge_nexus_spark.operators.pagerank import pagerank_fixed_point
 
