@@ -196,7 +196,7 @@ def sql_kg_gazetteer_mentions():
     quoted = ", ".join(f"'{g}'" for g in GAZETTEER)
     return f"""
     SELECT DISTINCT doc_id, 'MENTIONS' AS pred, tok AS obj FROM (
-      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents)
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents)
     WHERE tok IN ({quoted})
     """
 
@@ -245,7 +245,7 @@ def q_dedup_token_jaccard(spark, sf_dir):
 def sql_dedup_token_jaccard():
     return """
     WITH toks AS (
-      SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t FROM documents),
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents),
     sizes AS (SELECT doc_id, len(t) AS s FROM toks),
     inv AS (SELECT doc_id, unnest(t) AS tok FROM toks),
     inter AS (
@@ -275,7 +275,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def sql_dedup_minhash_lsh():
     return """
     WITH toks AS (
-      SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t FROM documents),
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents),
     inv AS (SELECT doc_id, unnest(t) AS sh FROM toks),
     sig AS (
       SELECT doc_id, i,
@@ -310,7 +310,7 @@ def q_dedup_simhash(spark, sf_dir):
 def sql_dedup_simhash():
     return """
     WITH toks AS (
-      SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
       FROM documents),
     th AS (
       SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
@@ -348,7 +348,7 @@ def q_dedup_clusters(spark, sf_dir):
 def sql_dedup_clusters():
     return """
     WITH RECURSIVE toks AS (
-      SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t FROM documents),
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents),
     sizes AS (SELECT doc_id, len(t) AS s FROM toks),
     inv AS (SELECT doc_id, unnest(t) AS tok FROM toks),
     inter AS (
@@ -461,10 +461,10 @@ def q_text_stats(spark, sf_dir):
 def sql_text_stats():
     return r"""
     SELECT doc_id,
-           len(string_split(lower(trim(text)), ' ')) AS n_tokens,
-           round(CAST(list_sum(list_transform(string_split(lower(trim(text)), ' '),
+           len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+           round(CAST(list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
                  t -> len(t))) AS DOUBLE)
-                 / len(string_split(lower(trim(text)), ' ')), 6) AS avg_tok_len,
+                 / len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS avg_tok_len,
            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
     FROM documents
     """
@@ -485,7 +485,7 @@ def sql_text_lang():
     quoted = ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS)
     return f"""
     WITH base AS (
-      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks,
+      SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
              CASE WHEN length(text) > 0
                   THEN CAST(length(regexp_replace(text, '[^a-zA-Z0-9 .,!?;:''"-]', '', 'g')) AS DOUBLE) / length(text)
                   ELSE 0.0 END AS ascii_ratio
@@ -760,7 +760,7 @@ def sql_kg_motif_triangle():
     return f"""
     WITH mentions AS (
       SELECT DISTINCT doc_id, tok FROM (
-        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents)
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents)
       WHERE tok IN ({quoted})),
     e AS (
       SELECT DISTINCT x.tok AS s, y.tok AS t
@@ -790,7 +790,7 @@ def sql_kg_entity_groups():
     return f"""
     SELECT substr(mention, 1, 1) AS label,
            count(DISTINCT mention) AS n_distinct, count(*) AS n_total
-    FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS mention FROM documents)
+    FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS mention FROM documents)
     WHERE mention IN ({quoted})
     GROUP BY 1
     """
@@ -1020,9 +1020,9 @@ def sql_text_quality():
     quoted = ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS)
     return f"""
     WITH base AS (
-      SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks,
+      SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
              CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split(lower(trim(text)), ' ')) END AS n,
+                  ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS n,
              length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
       FROM documents),
     feat AS (
@@ -1212,7 +1212,7 @@ def sql_dedup_bigram_jaccard():
     # exactly, including the single-token-doc edge (emits the token itself)
     return """
     WITH toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -1289,7 +1289,7 @@ def q_text_ngrams(spark, sf_dir):
 def sql_text_ngrams():
     return """
     WITH toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
     bg AS (
       SELECT unnest(list_transform(
                range(0, greatest(len(tk) - 1, 1)),
@@ -1503,7 +1503,7 @@ def sql_kg_chunks():
              'Title: Doc ' || doc_id || chr(10) ||
              'Last edited time: {_CHUNK_TS}' || chr(10) || chr(10) ||
              'Content:' || chr(10) AS hdr,
-             string_split(text, ' ') AS tk
+             regexp_split_to_array(text, '\\s+') AS tk
       FROM documents),
     n AS (
       SELECT page_id, hdr, tk,
