@@ -446,6 +446,40 @@ def q_ann_lsh(spark, sf_dir):
     return res.select("id", F.round("score", 4).alias("score"))
 
 
+def q_ann_lsh_indexed(spark, sf_dir):
+    """ANN against the STORED (band, key)-partitioned signature index —
+    the 100 TB serving layout end-to-end under the gate: write_lsh_index
+    materializes ids partitioned by signature, lsh_topk_indexed probes it
+    with the query's band keys as partition filters and re-joins vectors
+    for the exact re-rank (rows-only for the same reason as ann_lsh;
+    the partition-pruned scan shape is pinned in test_plan_shapes /
+    test_dedup_similarity). The index write is part of the measured
+    operation — build + probe is what a serving refresh does."""
+    import tempfile
+
+    from knowledge_nexus_spark.operators.similarity import (
+        lsh_topk_indexed,
+        write_lsh_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter("vec_id <> 0")
+    qv = [
+        float(x)
+        for x in _t(spark, sf_dir, "embeddings").filter("vec_id = 0").first()[
+            "embedding"
+        ]
+    ]
+    path = tempfile.mkdtemp(prefix="knx_lsh_idx_") + "/index"
+    write_lsh_index(
+        emb, "vec_id", "embedding", path, dim=len(qv), bands=16, band_planes=6
+    )
+    res = lsh_topk_indexed(
+        emb, path, "vec_id", "embedding", qv,
+        k=10, dim=len(qv), bands=16, band_planes=6,
+    )
+    return res.select("id", F.round("score", 4).alias("score"))
+
+
 # ------------------------------------------------------------ text analysis --
 
 def q_text_stats(spark, sf_dir):
@@ -1143,6 +1177,106 @@ def sql_events_median():
     """
 
 
+def q_tpch_q20_adapted(spark, sf_dir):
+    """TPC-H Q20-style nested left-semi: suppliers who shipped a 'red'
+    part during 1996 with per-(supplier, part) quantity exceeding 20% of
+    that part's total 1996 shipments. The correlated scalar subquery
+    (Q20's 0.5*availqty guard) decorrelates into a per-part aggregate
+    joined back; supplier qualification is a LEFT SEMI join (pinned in
+    test_plan_shapes). All quantity math in DECIMAL — no float boundary
+    flips at the HAVING threshold. part is dim-broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    li_red = li.join(
+        F.broadcast(red), li["l_partkey"] == red["p_partkey"]
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+
+    per_sp = li_red.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("sq")
+    )
+    per_part = li_red.groupBy("l_partkey").agg(
+        (F.sum(_dec(F.col("l_quantity"))) * F.lit(0.2).cast("decimal(2,1)")).alias(
+            "thresh"
+        )
+    )
+    qual = (
+        per_sp.join(per_part, "l_partkey")
+        .filter(F.col("sq") > F.col("thresh"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.join(qual, sup["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        .select("s_name", F.round(F.col("s_acctbal").cast("double"), 2).alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def sql_tpch_q20_adapted():
+    return """
+    WITH li AS (
+      SELECT l_suppkey, l_partkey, l_quantity
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'),
+    per_sp AS (
+      SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+      FROM li GROUP BY l_suppkey, l_partkey),
+    per_part AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) * CAST(0.2 AS DECIMAL(2,1)) AS thresh
+      FROM li GROUP BY l_partkey),
+    qual AS (
+      SELECT DISTINCT l_suppkey FROM per_sp JOIN per_part USING (l_partkey)
+      WHERE sq > thresh)
+    SELECT s_name, round(CAST(s_acctbal AS DOUBLE), 2) AS acctbal
+    FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+    ORDER BY s_name
+    """
+
+
+def q_events_quantile_sample(spark, sf_dir):
+    """Percentiles at scale: exact interpolated percentile over a
+    DETERMINISTIC 10% hash sample (md5(event_id) % 10). events_median's
+    exact form sorts every group member — fine for bounded-cardinality
+    groups, unbounded at 100 TB; Spark's native approx_percentile bounds
+    memory but its GK sketch is engine-specific and non-oracle-able.
+    The fixed-rate md5 sample gives the same bounded-work contract with a
+    result that is a pure function of the corpus, so BOTH engines verify
+    it value-for-value. In production swap the sample rate per group
+    size, or use approx_percentile when cross-engine determinism is not
+    required."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    samp = ev.filter(h % 10 == 0)
+    return samp.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+
+
+def sql_events_quantile_sample():
+    return """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           CAST(count(*) AS BIGINT) AS n_sampled
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS INT) % 10 = 0
+    GROUP BY event_type
+    """
+
+
 def q_tpch_rollup(spark, sf_dir):
     """ROLLUP multi-level aggregate (per-flag/status, per-flag, grand
     total) — Spark expands grouping sets in one pass over the scan."""
@@ -1573,6 +1707,9 @@ QUERIES = {
     "text_ngrams": q_text_ngrams,
     "kg_chunks": q_kg_chunks,
     "kg_linking": q_kg_linking,
+    "ann_lsh_indexed": q_ann_lsh_indexed,
+    "events_quantile_sample": q_events_quantile_sample,
+    "tpch_q20_adapted": q_tpch_q20_adapted,
 }
 
 ORACLE_SQL = {
@@ -1626,4 +1763,6 @@ ORACLE_SQL = {
     "text_ngrams": sql_text_ngrams(),
     "kg_chunks": sql_kg_chunks(),
     "kg_linking": sql_kg_linking(),
+    "events_quantile_sample": sql_events_quantile_sample(),
+    "tpch_q20_adapted": sql_tpch_q20_adapted(),
 }

@@ -168,6 +168,22 @@ def test_hll_partial_aggregation(spark):
         assert marker not in plan
 
 
+def test_q20_semi_join_and_dim_broadcast(spark):
+    """Q20-adapted must qualify suppliers with a LEFT SEMI join (never a
+    full join + distinct) and broadcast only the part dim."""
+    from knowledge_nexus_spark.plans.driver_queries import q_tpch_q20_adapted
+
+    plan = _plan(q_tpch_q20_adapted(spark, SF))
+    assert "LeftSemi" in plan
+    logical = q_tpch_q20_adapted(spark, SF)._jdf.queryExecution().analyzed().toString()
+    import re
+    for block in logical.split("ResolvedHint")[1:]:
+        rel = re.search(r"Relation \[([a-z])_", block)
+        assert rel is not None and rel.group(1) == "p", (
+            "broadcast hint must pin only the part dim"
+        )
+
+
 def test_knn_self_join_band_shuffle_is_narrow(spark):
     """The (band, key) candidate self-join must shuffle (id, band, key)
     only — an Exchange that carries the embedding array moves every
