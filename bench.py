@@ -44,6 +44,11 @@ HEADLINE = [
     "events_asof",
     "events_hll",
     "text_quality",
+    # round-4 additions
+    "kg_chunks",
+    "kg_linking",
+    "tpch_q20_adapted",
+    "events_quantile_sample",
 ]
 
 
@@ -92,8 +97,17 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
 
+    from bench_scaling import cpu_probe
+
     from knowledge_nexus_spark.plans.driver_queries import QUERIES
     from knowledge_nexus_spark.session import get_spark
+
+    # Host-health canary IN the bench record (round-3 lesson: a contended
+    # shared host silently inflated driver walls 1.3-3x while every other
+    # canary read healthy). ~250-280 units/core/s is a quiet host; numbers
+    # measured at materially lower probe readings measure the contention,
+    # not the plan.
+    probe_pre = cpu_probe()
 
     spark = get_spark("knx-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
@@ -143,6 +157,7 @@ def main() -> None:
         "cpus": cpus,
     }
     spark.stop()
+    out["probe_units_per_core_sec"] = {"pre": probe_pre, "post": cpu_probe()}
     print(json.dumps(out))
 
 
