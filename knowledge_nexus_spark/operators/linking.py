@@ -116,13 +116,31 @@ def link_entities_native(
     never a cross product — and candidates travel as ids only, shingle
     sets re-joined per side after the pair dedup.
 
+    Corpora repeat surface forms heavily (row count >> vocabulary), so
+    ALL pairwise work — banding, the bucket join, the Jaccard verify —
+    runs over DISTINCT strings only; mention_ids and duplicate entity
+    names re-join after the per-string winner is decided. Without this
+    the bucket join is quadratic in the duplication factor: at 10× rows
+    over the same vocabulary each (band, key) bucket holds 10× copies
+    per side → 100× candidate pairs, all landing on the hot bucket's
+    task (observed live: one straggler task burning 13 min in
+    ArrayIntersect at sf0.1). Equivalence of the re-expansion: jaccard
+    is a pure function of the two strings, and the tie-break
+    (jaccard desc, entity_id asc) makes the per-name MIN entity_id the
+    only duplicate that can ever win, so ranking name representatives
+    is identical to ranking the full expansion.
+
     mentions(mention_id, mention) × entities(entity_id, name) →
     (mention_id, mention, entity_id, jaccard)."""
     from knowledge_nexus_spark.operators.dedup import md5_hash64
 
-    m = (
+    m_rows = (
         mentions.select("mention_id", "mention")
         .filter(F.length("mention") >= 3)
+        .distinct()
+    )
+    m = (
+        m_rows.select("mention")
         .distinct()
         .withColumn("sh", _char_shingles(F.col("mention")))
         .withColumn("sz", F.size("sh"))
@@ -130,7 +148,8 @@ def link_entities_native(
     e = (
         entities.select("entity_id", "name")
         .filter(F.length("name") >= 3)
-        .distinct()
+        .groupBy("name")
+        .agg(F.min("entity_id").alias("entity_id"))
         .withColumn("sh", _char_shingles(F.col("name")))
         .withColumn("sz", F.size("sh"))
     )
@@ -154,21 +173,22 @@ def link_entities_native(
         ).select(*keys, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     cand = (
-        banded(m, ["mention_id"])
-        .join(banded(e, ["entity_id"]), ["band", "key"])
-        .select("mention_id", "entity_id")
-        .dropDuplicates(["mention_id", "entity_id"])
+        banded(m, ["mention"])
+        .join(banded(e, ["name"]), ["band", "key"])
+        .select("mention", "name")
+        .dropDuplicates(["mention", "name"])
     )
 
     scored = (
-        cand.join(m.select("mention_id", "mention", "sh", "sz"), "mention_id")
+        cand.join(m.select("mention", "sh", "sz"), "mention")
         .join(
             e.select(
+                "name",
                 "entity_id",
                 F.col("sh").alias("esh"),
                 F.col("sz").alias("esz"),
             ),
-            "entity_id",
+            "name",
         )
         .withColumn("inter", F.size(F.array_intersect("sh", "esh")))
         .withColumn(
@@ -178,13 +198,16 @@ def link_entities_native(
         .filter(F.col("jaccard") >= threshold)
     )
 
-    w = Window.partitionBy("mention_id", "mention").orderBy(
+    w = Window.partitionBy("mention").orderBy(
         F.col("jaccard").desc(), F.col("entity_id").asc()
     )
-    return (
+    best = (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .select("mention_id", "mention", "entity_id", "jaccard")
+        .select("mention", "entity_id", "jaccard")
+    )
+    return m_rows.join(best, "mention").select(
+        "mention_id", "mention", "entity_id", "jaccard"
     )
 
 
