@@ -49,6 +49,7 @@ HEADLINE = [
     "kg_linking",
     "tpch_q20_adapted",
     "events_quantile_sample",
+    "tpch_colocated_join",
 ]
 
 

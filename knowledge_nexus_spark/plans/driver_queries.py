@@ -1242,6 +1242,50 @@ def sql_tpch_q20_adapted():
     """
 
 
+def q_tpch_colocated_join(spark, sf_dir):
+    """Shuffle-free fact-fact join via bucketed storage: orders and
+    lineitem written bucketBy(16, orderkey) + sortBy once, then joined
+    with NO Exchange on either side (pinned in test_plan_shapes) — the
+    100 TB layout where the dominant join never reshuffles. The bucketed
+    write is part of the measured operation, like ann_lsh_indexed's
+    index build. Result oracled as a plain join."""
+    import tempfile
+
+    from knowledge_nexus_spark.storage.bucketed import bucketed_join, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="knx_bucketed_")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    write_bucketed(orders, "knx_b_orders", "orderkey", path=f"{base}/orders")
+    write_bucketed(li, "knx_b_lineitem", "orderkey", path=f"{base}/lineitem")
+
+    joined = bucketed_join(spark, "knx_b_orders", "knx_b_lineitem", "orderkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def sql_tpch_colocated_join():
+    return """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
 def q_events_quantile_sample(spark, sf_dir):
     """Percentiles at scale: exact interpolated percentile over a
     DETERMINISTIC 10% hash sample (md5(event_id) % 10). events_median's
@@ -1710,6 +1754,7 @@ QUERIES = {
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "events_quantile_sample": q_events_quantile_sample,
     "tpch_q20_adapted": q_tpch_q20_adapted,
+    "tpch_colocated_join": q_tpch_colocated_join,
 }
 
 ORACLE_SQL = {
@@ -1765,4 +1810,5 @@ ORACLE_SQL = {
     "kg_linking": sql_kg_linking(),
     "events_quantile_sample": sql_events_quantile_sample(),
     "tpch_q20_adapted": sql_tpch_q20_adapted(),
+    "tpch_colocated_join": sql_tpch_colocated_join(),
 }

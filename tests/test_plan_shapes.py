@@ -168,6 +168,32 @@ def test_hll_partial_aggregation(spark):
         assert marker not in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must SortMergeJoin with ZERO
+    Exchange — the co-located layout removes the network cost entirely
+    (the residual in-bucket Sort is local CPU over 1/B of the data)."""
+    from knowledge_nexus_spark.storage.bucketed import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    write_bucketed(orders, "t_b_orders", "orderkey", path=str(tmp_path / "o"))
+    write_bucketed(li, "t_b_lineitem", "orderkey", path=str(tmp_path / "l"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bucketed_join(spark, "t_b_orders", "t_b_lineitem", "orderkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not reshuffle"
+    assert plan.count("Bucketed: true") == 2
+
+
 def test_q20_semi_join_and_dim_broadcast(spark):
     """Q20-adapted must qualify suppliers with a LEFT SEMI join (never a
     full join + distinct) and broadcast only the part dim."""
