@@ -1242,6 +1242,87 @@ def sql_tpch_q20_adapted():
     """
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing under the hard gate: deterministic media spans
+    (one asset per doc, kind cycling image/audio/video/pdf) →
+    media_assets(real_payloads=True) synthesizes VALID BMP/WAV/PDF
+    container bytes → decode_features(real_codecs=True) PARSES them back
+    (struct/wave header parsing — the PIL/ffmpeg slot). The oracle never
+    touches a codec: container dimensions are closed-form functions of
+    sha256(media_ref), so DuckDB recomputes the expected metadata
+    arithmetically — two fully independent derivations of the same
+    values. Feature vectors stay pytest-pinned (multimodal tests)."""
+    from knowledge_nexus_spark.multimodal import decode_features, media_assets
+
+    docs = _t(spark, sf_dir, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"), F.lit("pdf"))
+    with_spans = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.element_at(kinds, (F.col("doc_id") % 4 + 1).cast("int")).alias(
+                    "kind"
+                ),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(
+                    F.lit("asset://"), F.col("source"), F.lit("/"), F.col("doc_id")
+                ).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    feats = decode_features(
+        media_assets(with_spans, real_payloads=True), real_codecs=True
+    )
+    return feats.select(
+        "doc_id",
+        "kind",
+        "media_ref",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+def sql_media_features():
+    # container-geometry arithmetic mirroring multimodal.synth_payload_py /
+    # _real_decode: d[i] = i-th byte of sha256(media_ref)
+    return """
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             ['image', 'audio', 'video', 'pdf'][CAST(doc_id % 4 + 1 AS INT)] AS kind,
+             'asset://' || source || '/' || doc_id AS media_ref
+      FROM documents),
+    d AS (
+      SELECT doc_id, kind, media_ref,
+             CAST(('0x' || substr(sha256(media_ref), 1, 2)) AS INT) AS d0,
+             CAST(('0x' || substr(sha256(media_ref), 3, 2)) AS INT) AS d1,
+             CAST(('0x' || substr(sha256(media_ref), 5, 2)) AS INT) AS d2,
+             CAST(('0x' || substr(sha256(media_ref), 7, 2)) AS INT) AS d3
+      FROM m),
+    g AS (
+      SELECT doc_id, kind, media_ref,
+             CASE WHEN kind = 'image' THEN 64 + d0 % 64 ELSE 0 END AS width,
+             CASE WHEN kind = 'image' THEN 64 + d1 % 64 ELSE 0 END AS height,
+             8000 + d2 * 256 AS n_samples, d3
+      FROM d)
+    SELECT doc_id, kind, media_ref,
+           CAST(CASE
+             WHEN kind = 'image' THEN
+               54 + (width * 3 + (4 - (width * 3) % 4) % 4) * height
+             WHEN kind IN ('audio', 'video') THEN 44 + 2 * n_samples
+             ELSE 2063 + d3 * 8
+           END AS BIGINT) AS byte_len,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(CASE WHEN kind IN ('audio', 'video')
+                     THEN greatest(1, n_samples // 1600) ELSE 1
+           END AS BIGINT) AS n_frames
+    FROM g
+    """
+
+
 def q_tpch_colocated_join(spark, sf_dir):
     """Shuffle-free fact-fact join via bucketed storage: orders and
     lineitem written bucketBy(16, orderkey) + sortBy once, then joined
@@ -1755,6 +1836,7 @@ QUERIES = {
     "events_quantile_sample": q_events_quantile_sample,
     "tpch_q20_adapted": q_tpch_q20_adapted,
     "tpch_colocated_join": q_tpch_colocated_join,
+    "media_features": q_media_features,
 }
 
 ORACLE_SQL = {
@@ -1811,4 +1893,5 @@ ORACLE_SQL = {
     "events_quantile_sample": sql_events_quantile_sample(),
     "tpch_q20_adapted": sql_tpch_q20_adapted(),
     "tpch_colocated_join": sql_tpch_colocated_join(),
+    "media_features": sql_media_features(),
 }
