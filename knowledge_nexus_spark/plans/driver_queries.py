@@ -1242,6 +1242,54 @@ def sql_tpch_q20_adapted():
     """
 
 
+def q_kg_embed(spark, sf_dir):
+    """Embedding projection (P16) under the hard gate: the real
+    ``embed_udf`` pandas UDF (feature hashing: md5 token → slot/sign,
+    count, L2-normalize, float32) over the corpus, unpacked to nonzero
+    (doc_id, idx, w) slots. The oracle recomputes every slot from
+    first principles in SQL — md5 hex → UBIGINT → idx/sign, integer
+    counts, double norm, float32 cast — so the two engines derive the
+    normalized weights fully independently and must hash-match."""
+    from knowledge_nexus_spark.functions.embed import embed_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_udf(64)
+    return (
+        docs.select(
+            "doc_id", F.posexplode(emb(F.col("text"))).alias("idx", "val")
+        )
+        .filter(F.col("val") != 0)
+        .select(
+            "doc_id",
+            "idx",
+            F.round(F.col("val").cast("double"), 6).alias("w"),
+        )
+    )
+
+
+def sql_kg_embed():
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+      FROM toks),
+    slots AS (
+      SELECT doc_id, CAST(hv % 64 AS INT) AS idx,
+             CAST(sum(CASE WHEN (hv >> 63) & 1 = 1 THEN 1 ELSE -1 END)
+                  AS DOUBLE) AS cnt
+      FROM h GROUP BY doc_id, idx),
+    norms AS (
+      SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM slots GROUP BY doc_id)
+    SELECT s.doc_id, s.idx,
+           round(CAST(CAST(s.cnt / n.nrm AS FLOAT) AS DOUBLE), 6) AS w
+    FROM slots s JOIN norms n ON s.doc_id = n.doc_id
+    WHERE s.cnt <> 0
+    """
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing under the hard gate: deterministic media spans
     (one asset per doc, kind cycling image/audio/video/pdf) →
@@ -1837,6 +1885,7 @@ QUERIES = {
     "tpch_q20_adapted": q_tpch_q20_adapted,
     "tpch_colocated_join": q_tpch_colocated_join,
     "media_features": q_media_features,
+    "kg_embed": q_kg_embed,
 }
 
 ORACLE_SQL = {
@@ -1894,4 +1943,5 @@ ORACLE_SQL = {
     "tpch_q20_adapted": sql_tpch_q20_adapted(),
     "tpch_colocated_join": sql_tpch_colocated_join(),
     "media_features": sql_media_features(),
+    "kg_embed": sql_kg_embed(),
 }
