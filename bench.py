@@ -50,6 +50,8 @@ HEADLINE = [
     "tpch_q20_adapted",
     "events_quantile_sample",
     "tpch_colocated_join",
+    "media_features",
+    "kg_embed",
 ]
 
 
