@@ -81,6 +81,136 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 256  # buckets per row
+
+
+def cms_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Count-min sketch of value_col frequencies: (r, b, cnt) cells.
+
+    Each input value lands in CMS_DEPTH cells, one per hash row r, at
+    bucket b = md5_hash64(r || ':' || value) mod CMS_WIDTH. The explode
+    multiplies rows ×DEPTH *before* the aggregation, but the groupBy
+    partially aggregates map-side, so the shuffle carries at most
+    DEPTH·WIDTH rows per input partition — at 10^12 rows this is the
+    only way to get per-key frequency estimates without shuffling keys.
+    Deterministic: md5 hash, integer counters — any SQL engine agrees.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r")
+    cells = df.select(F.col(value_col).cast("string").alias("v")).select(
+        seeds, F.col("v")
+    )
+    bucket = F.pmod(
+        md5_hash64(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("v"))),
+        F.lit(CMS_WIDTH),
+    )
+    return (
+        cells.select("r", bucket.alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-query the sketch: est(key) = min over rows of cell counts.
+
+    Returns (key_col, cms_est BIGINT), an upper bound on the true count
+    (classic CM overestimate). The sketch is ≤ DEPTH·WIDTH rows, so the
+    join broadcasts regardless of how many keys are probed."""
+    probes = keys.select(F.col(key_col)).distinct().select(
+        F.col(key_col),
+        F.col(key_col).cast("string").alias("v"),
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r"),
+    )
+    probes = probes.withColumn(
+        "b",
+        F.pmod(
+            md5_hash64(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("v"))),
+            F.lit(CMS_WIDTH),
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+
+
+def cms_sql(table: str, value_col: str, key_col: str) -> str:
+    """DuckDB oracle: same hash, same cells, same min — bit-equal counts."""
+    d, w = CMS_DEPTH, CMS_WIDTH
+    h = (
+        "CAST(('0x' || substr(md5(CAST(s.r AS VARCHAR) || ':' || {v}), 1, 15))"
+        " AS BIGINT) % " + str(w)
+    )
+    return f"""
+    WITH seeds AS (SELECT unnest(range({d})) AS r),
+    vals AS (SELECT CAST({value_col} AS VARCHAR) AS v FROM {table}),
+    cells AS (
+      SELECT s.r AS r, {h.format(v='vals.v')} AS b, count(*) AS cnt
+      FROM vals CROSS JOIN seeds s GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT {key_col}, CAST({key_col} AS VARCHAR) AS v
+             FROM {table}),
+    probes AS (
+      SELECT k.{key_col}, s.r AS r, {h.format(v='k.v')} AS b
+      FROM keys k CROSS JOIN seeds s)
+    SELECT p.{key_col},
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.b = p.b
+    GROUP BY p.{key_col}
+    """
+
+
+BLOOM_HASHES = 3  # k hash rows
+BLOOM_BITS = 4096  # positions per row (partitioned bloom: k disjoint arrays)
+
+
+def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Partitioned Bloom filter of value_col as relational rows (i, pos).
+
+    Row i holds the distinct positions md5_hash64(i || ':' || v) mod
+    BLOOM_BITS of every build-side value — ≤ HASHES·BITS rows total, so
+    the filter always broadcasts. (Spark's native AQE runtime bloom
+    [spark.sql.optimizer.runtime.bloomFilter.enabled] injects the same
+    pruning automatically but with an engine-private hash; this explicit
+    variant exists so an external oracle can reproduce membership.)"""
+    probes = df.select(F.col(value_col).cast("string").alias("v")).select(
+        "v", F.explode(F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])).alias("i")
+    )
+    pos = F.pmod(
+        md5_hash64(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("v"))),
+        F.lit(BLOOM_BITS),
+    )
+    return probes.select("i", pos.alias("pos")).distinct()
+
+
+def bloom_might_contain(
+    bloom: DataFrame, keys: DataFrame, key_col: str
+) -> DataFrame:
+    """(key_col, might_contain BOOLEAN): true iff all k probe positions
+    are set. No false negatives; false positives at the classic
+    (1 - e^(-kn/m))^k rate. The broadcast left-join + count==k is the
+    whole membership test — no bitset type needed."""
+    probes = keys.select(F.col(key_col)).distinct().select(
+        F.col(key_col),
+        F.col(key_col).cast("string").alias("v"),
+        F.explode(F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])).alias("i"),
+    )
+    probes = probes.withColumn(
+        "pos",
+        F.pmod(
+            md5_hash64(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("v"))),
+            F.lit(BLOOM_BITS),
+        ),
+    )
+    hit = F.broadcast(bloom.withColumn("hit", F.lit(1)))
+    return (
+        probes.join(hit, ["i", "pos"], "left")
+        .groupBy(key_col)
+        .agg((F.count("hit") == F.lit(BLOOM_HASHES)).alias("might_contain"))
+    )
+
+
 def hll_distinct_sql(table: str, group_col: str, value_col: str) -> str:
     """The DuckDB oracle for ``hll_distinct`` — same constants, same exact
     integer register sum."""

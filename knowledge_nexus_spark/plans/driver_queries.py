@@ -1100,6 +1100,86 @@ def sql_events_hll():
     return hll_distinct_sql("events", "event_type", "event_id")
 
 
+def q_events_cms(spark, sf_dir):
+    """Count-min sketch frequency estimates per user (operators/sketches
+    cms_build/cms_estimate — fixed md5 hashes, integer counters). The
+    sketch is one partially-aggregated shuffle of ≤ DEPTH·WIDTH rows per
+    partition however large the input; point queries broadcast it."""
+    from knowledge_nexus_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    return cms_estimate(sketch, ev, "user_id").orderBy("user_id")
+
+
+def sql_events_cms():
+    from knowledge_nexus_spark.operators.sketches import cms_sql
+
+    return cms_sql("events", "user_id", "user_id") + " ORDER BY user_id"
+
+
+def q_tpch_bloom_prune(spark, sf_dir):
+    """Bloom-filter join pruning made oracle-able: a partitioned Bloom
+    filter (operators/sketches) built from URGENT orders' keys probes
+    every distinct lineitem orderkey; emitted next to exact membership so
+    the no-false-negative property is visible in the result. At scale
+    this filter rides the broadcast path in front of the fact-table
+    shuffle — the explicit, hash-reproducible analogue of Spark's AQE
+    runtime bloom (spark.sql.optimizer.runtime.bloomFilter.enabled)."""
+    from knowledge_nexus_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    verdicts = bloom_might_contain(bloom_build(urgent, "o_orderkey"), li, "l_orderkey")
+    member = urgent.select(F.col("o_orderkey").alias("l_orderkey")).withColumn(
+        "is_member", F.lit(True)
+    )
+    return (
+        verdicts.join(F.broadcast(member), "l_orderkey", "left")
+        .select(
+            "l_orderkey",
+            "might_contain",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def sql_tpch_bloom_prune():
+    from knowledge_nexus_spark.operators.sketches import BLOOM_BITS, BLOOM_HASHES
+
+    h = (
+        "CAST(('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' || {v}), 1, 15))"
+        f" AS BIGINT) % {BLOOM_BITS}"
+    )
+    return f"""
+    WITH seeds AS (SELECT unnest(range({BLOOM_HASHES})) AS i),
+    urgent AS (SELECT DISTINCT o_orderkey FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    bloom AS (
+      SELECT DISTINCT s.i AS i,
+             {h.format(v="CAST(u.o_orderkey AS VARCHAR)")} AS pos
+      FROM urgent u CROSS JOIN seeds s),
+    keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    probes AS (
+      SELECT k.l_orderkey, s.i AS i,
+             {h.format(v="CAST(k.l_orderkey AS VARCHAR)")} AS pos
+      FROM keys k CROSS JOIN seeds s)
+    SELECT p.l_orderkey,
+           count(b.i) = {BLOOM_HASHES} AS might_contain,
+           coalesce(bool_or(u.o_orderkey IS NOT NULL), FALSE) AS is_member
+    FROM probes p
+    LEFT JOIN bloom b ON b.i = p.i AND b.pos = p.pos
+    LEFT JOIN urgent u ON u.o_orderkey = p.l_orderkey
+    GROUP BY p.l_orderkey
+    ORDER BY p.l_orderkey
+    """
+
+
 def q_tpch_q13_adapted(spark, sf_dir):
     """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
     preserving zero-order customers, then a second aggregation over the
@@ -1886,6 +1966,8 @@ QUERIES = {
     "tpch_colocated_join": q_tpch_colocated_join,
     "media_features": q_media_features,
     "kg_embed": q_kg_embed,
+    "events_cms": q_events_cms,
+    "tpch_bloom_prune": q_tpch_bloom_prune,
 }
 
 ORACLE_SQL = {
@@ -1944,4 +2026,6 @@ ORACLE_SQL = {
     "tpch_colocated_join": sql_tpch_colocated_join(),
     "media_features": sql_media_features(),
     "kg_embed": sql_kg_embed(),
+    "events_cms": sql_events_cms(),
+    "tpch_bloom_prune": sql_tpch_bloom_prune(),
 }

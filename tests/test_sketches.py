@@ -8,7 +8,16 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from knowledge_nexus_spark.operators.sketches import M_REGISTERS, hll_distinct
+from knowledge_nexus_spark.operators.sketches import (
+    BLOOM_BITS,
+    BLOOM_HASHES,
+    M_REGISTERS,
+    bloom_build,
+    bloom_might_contain,
+    cms_build,
+    cms_estimate,
+    hll_distinct,
+)
 
 
 @pytest.fixture(scope="module")
@@ -37,6 +46,56 @@ def test_hll_is_set_function(spark, keyed):
     a = sorted(map(tuple, hll_distinct(df, "g", "v").collect()))
     b = sorted(map(tuple, hll_distinct(doubled, "g", "v").collect()))
     assert a == b
+
+
+def test_cms_overestimates_and_bounds(spark):
+    """CM estimates are exact-or-over, never under; with 50 keys in a
+    4×256 sketch collisions are rare so most estimates are exact."""
+    rows = [(f"k{i}", ) for i in range(50) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "v string")
+    exact = {f"k{i}": i + 1 for i in range(50)}
+    est = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(cms_build(df, "v"), df, "v").collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    n_exact = sum(est[k] == exact[k] for k in exact)
+    assert n_exact >= 45  # depth-4 min over 256 buckets: collisions rare
+
+
+def test_cms_partition_invariant(spark):
+    rows = [(f"k{i % 30}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "v string")
+    a = sorted(
+        map(tuple, cms_estimate(cms_build(df.repartition(1), "v"), df, "v").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            cms_estimate(cms_build(df.repartition(16, "v"), "v"), df, "v").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    members = spark.createDataFrame([(f"m{i}",) for i in range(500)], "v string")
+    outsiders = spark.createDataFrame([(f"x{i}",) for i in range(2000)], "v string")
+    bloom = bloom_build(members, "v")
+    got_m = {
+        r["v"]: r["might_contain"]
+        for r in bloom_might_contain(bloom, members, "v").collect()
+    }
+    assert all(got_m.values())  # every member must test positive
+    got_x = [
+        r["might_contain"]
+        for r in bloom_might_contain(bloom, outsiders, "v").collect()
+    ]
+    # partitioned bloom fp rate = (1-(1-1/m)^n)^k ≈ (n/m)^k at n<<m
+    fp_theory = (1 - (1 - 1 / BLOOM_BITS) ** 500) ** BLOOM_HASHES
+    fp_seen = sum(got_x) / len(got_x)
+    assert fp_seen <= max(5 * fp_theory, 0.02), (fp_seen, fp_theory)
 
 
 def test_hll_partition_invariant(spark, keyed):
