@@ -1911,6 +1911,235 @@ def sql_kg_chunks():
 
 # ----------------------------------------------------------------- registry --
 
+def q_tpch_q15_adapted(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    argmax. The global max is a ONE-ROW aggregate broadcast back against
+    the grouped frame — the decorrelated form of Q15's view + scalar
+    subquery; equality compares the exact DECIMAL sums, so no float
+    boundary can drop or duplicate the winner. supplier is dim-broadcast;
+    at 100 TB the only full-data pass is the one grouped scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(disc_price).alias("r"))
+    mx = rev.agg(F.max("r").alias("mx"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev["r"] == mx["mx"])
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("r").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def sql_tpch_q15_adapted():
+    return """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 2) AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE r = (SELECT max(r) FROM rev)
+    ORDER BY s_suppkey
+    """
+
+
+def q_tpch_q16_adapted(spark, sf_dir):
+    """TPC-H Q16 (supplier-count distribution): distinct suppliers per
+    (brand, type) through the lineitem bridge, with a brand exclusion
+    and a NOT-IN supplier blacklist. The blacklist (negative-balance
+    suppliers, Q16's complaints stand-in) is a broadcast LEFT ANTI join;
+    the (brand, type, suppkey) DISTINCT happens before the final count
+    so the count is a plain row count — one shuffle each."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#5")
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+def sql_tpch_q16_adapted():
+    return """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """
+
+
+def q_docs_topk_per_lang(spark, sf_dir):
+    """Per-group top-k (training-data curation: keep the k best documents
+    per language): ONE shuffle on the group key, rank inside the
+    partition, filter — never a global sort. Deterministic tie-break
+    (doc_id) makes row_number reproducible across engines and runs."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.select(
+            "lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("lang", "rk")
+    )
+
+
+def sql_docs_topk_per_lang():
+    return """
+    SELECT lang, doc_id, n_chars, rk FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 3 ORDER BY lang, rk
+    """
+
+
+def q_docs_tfidf(spark, sf_dir):
+    """Per-document top-5 salient terms by an integer tf-idf surrogate
+    (score = tf·10^6 DIV df — BIGINT arithmetic both engines truncate
+    identically on positives, so no float log in the ordering). Shape:
+    term-frequency agg → document-frequency agg over the SAME frame →
+    re-join on term → per-doc window. At 100 TB the df table is
+    vocabulary-sized (sublinear) and the per-doc rank shuffles once on
+    doc_id; nothing materializes the corpus twice."""
+    docs = _t(spark, sf_dir, "documents")
+    term = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    tf = (
+        docs.select("doc_id", term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.expr("tf * CAST(1000000 AS BIGINT) DIV df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+def sql_docs_tfidf():
+    return r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    sc AS (
+      SELECT doc_id, term, tf, df,
+             CAST((tf * 1000000) // df AS BIGINT) AS score
+      FROM tf JOIN df USING (term)),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM sc)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score
+    FROM rk WHERE rn <= 5
+    """
+
+
+def q_events_json(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of the JSON
+    props column (get_json_object — JVM-side Jackson path, no Python)
+    and aggregate per event type. The CAST to BIGINT in the oracle
+    guards the DuckDB sum(BIGINT)→HUGEINT widening that bit kg_pagerank
+    in round 3."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count("k").alias("k_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sql_events_json():
+    return """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
+def q_events_gaps(spark, sf_dir):
+    """Largest inter-event gaps per user (lag window over the keyed
+    stream — sessionization's diagnostic twin). Integer microsecond
+    arithmetic end-to-end; the full (gap, user, event) ordering makes
+    the LIMIT boundary deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .orderBy(F.col("gap_us").desc(), "user_id", "event_id")
+        .limit(20)
+    )
+
+
+def sql_events_gaps():
+    return """
+    SELECT user_id, event_id, gap_us FROM (
+      SELECT user_id, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    WHERE gap_us IS NOT NULL
+    ORDER BY gap_us DESC, user_id, event_id LIMIT 20
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -1968,6 +2197,12 @@ QUERIES = {
     "kg_embed": q_kg_embed,
     "events_cms": q_events_cms,
     "tpch_bloom_prune": q_tpch_bloom_prune,
+    "tpch_q15_adapted": q_tpch_q15_adapted,
+    "tpch_q16_adapted": q_tpch_q16_adapted,
+    "docs_topk_per_lang": q_docs_topk_per_lang,
+    "docs_tfidf": q_docs_tfidf,
+    "events_json": q_events_json,
+    "events_gaps": q_events_gaps,
 }
 
 ORACLE_SQL = {
@@ -2028,4 +2263,10 @@ ORACLE_SQL = {
     "kg_embed": sql_kg_embed(),
     "events_cms": sql_events_cms(),
     "tpch_bloom_prune": sql_tpch_bloom_prune(),
+    "tpch_q15_adapted": sql_tpch_q15_adapted(),
+    "tpch_q16_adapted": sql_tpch_q16_adapted(),
+    "docs_topk_per_lang": sql_docs_topk_per_lang(),
+    "docs_tfidf": sql_docs_tfidf(),
+    "events_json": sql_events_json(),
+    "events_gaps": sql_events_gaps(),
 }

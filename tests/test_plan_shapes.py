@@ -249,3 +249,49 @@ def test_pagerank_iteration_is_pure_jvm(spark):
     plan = _plan(pagerank_fixed_point(nodes, edges, iterations=2))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_q16_anti_join_broadcast_and_early_distinct(spark):
+    """Q16-adapted must exclude the supplier blacklist with a broadcast
+    LEFT ANTI join (never NOT IN as a shuffled join), and the DISTINCT
+    must run BEFORE the final count so it is a plain row count."""
+    from knowledge_nexus_spark.plans.driver_queries import q_tpch_q16_adapted
+
+    plan = _plan(q_tpch_q16_adapted(spark, SF))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    # no count(distinct ...) expansion: the aggregate is count(1)
+    assert "count(distinct" not in plan.lower()
+
+
+def test_topk_per_group_has_single_shuffle_no_global_sort(spark):
+    """Per-group top-k must shuffle ONCE on the group key and rank inside
+    partitions; a global Sort over the full table (TakeOrderedAndProject
+    aside, which bounds rows to k*groups) would not survive 100 TB."""
+    import re
+
+    from knowledge_nexus_spark.plans.driver_queries import q_docs_topk_per_lang
+
+    plan = _plan(q_docs_topk_per_lang(spark, SF))
+    hash_exchanges = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert hash_exchanges == ["lang"], hash_exchanges
+    assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan or (
+        "Window" in plan
+    )
+
+
+def test_events_json_extraction_is_jvm_side(spark):
+    from knowledge_nexus_spark.plans.driver_queries import q_events_json
+
+    plan = _plan(q_events_json(spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "get_json_object" in plan
+
+
+def test_q15_argmax_broadcasts_single_row_max(spark):
+    """Q15-adapted joins the grouped frame against the one-row global
+    max with a broadcast — the max side must never shuffle the fact."""
+    from knowledge_nexus_spark.plans.driver_queries import q_tpch_q15_adapted
+
+    plan = _plan(q_tpch_q15_adapted(spark, SF))
+    assert "BroadcastHashJoin" in plan
