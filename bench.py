@@ -140,6 +140,8 @@ def main() -> None:
     ann_ids = {r.id for r in QUERIES["ann_topk"](spark, sf_dir).collect()}
     lsh_ids = {r.id for r in QUERIES["ann_lsh"](spark, sf_dir).collect()}
     ann_recall = round(len(ann_ids & lsh_ids) / max(len(ann_ids), 1), 3)
+    ivf_ids = {r.id for r in QUERIES["ann_ivf"](spark, sf_dir).collect()}
+    ivf_recall = round(len(ann_ids & ivf_ids) / max(len(ann_ids), 1), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -156,6 +158,7 @@ def main() -> None:
         "kg_triples": kg["triples"],
         "kg_triples_per_sec": round(kg["triples_per_sec"], 1),
         "ann_lsh_recall_at_10": ann_recall,
+        "ann_ivf_recall_at_10": ivf_recall,
         "protocol": f"median-of-{repeats} per query",
         "cpus": cpus,
     }

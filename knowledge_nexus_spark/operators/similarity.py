@@ -17,6 +17,12 @@ ANN extension).
                     exact re-rank. Per-query work is O(probed buckets + k),
                     independent of corpus size.
   knn_self_join   — k nearest neighbors for EVERY row via banded blocking
+  ivf_build/ivf_assign/ivf_topk/write_ivf_index — IVF ANN: deterministic
+                    Lloyd coarse quantizer (md5-seeded init, decimal-sum
+                    centroid updates), literal-expression assignment (one
+                    narrow scan, no row explosion), nprobe cluster scan
+                    with exact re-rank; stored layout partitions by
+                    cluster so probes are partition filters
 """
 
 from __future__ import annotations
@@ -138,6 +144,140 @@ def lsh_topk_indexed(
         .orderBy(F.col("score").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def _dot_lit(vec_col, centroid: list[float]):
+    """JVM-side dot product of an array column with a literal vector —
+    zip_with + sequential aggregate fold, per-row deterministic."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _normalize(c: list[float]) -> list[float]:
+    n = sum(x * x for x in c) ** 0.5
+    return [x / n for x in c] if n > 0 else c
+
+
+def ivf_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    iters: int = 2,
+):
+    """IVF coarse quantizer: deterministic Lloyd k-means, returning
+    (centroids, assignment DataFrame (id, cluster)).
+
+    Everything that could wobble is pinned:
+      - init: the ``n_clusters`` rows with the smallest md5 of their id —
+        a content-independent deterministic sample (collect is K-sized);
+      - assignment: argmax over K literal normalized-centroid dot
+        expressions via array_max + array_position (first index wins
+        ties) — ONE narrow scan per iteration, no crossJoin, no K-way
+        row explosion, fully JVM;
+      - update: element-wise mean per cluster with DECIMAL(38,12) sums
+        (posexplode → groupBy (cluster, idx)), so partial-sum order
+        cannot change low bits; the K×dim result collects to the driver.
+
+    At 100 TB: train the quantizer on a bounded md5-sample (pass the
+    sampled frame here), then assign the full corpus with ONE pass of
+    the same literal expressions — the shape `ivf_assign` provides."""
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    seeds = (
+        keyed.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h")
+        .limit(n_clusters)
+        .select("vec")
+        .collect()
+    )
+    centroids = [list(map(float, r["vec"])) for r in seeds]
+
+    for _ in range(iters):
+        assign = ivf_assign(keyed, "id", "vec", centroids)
+        sums = (
+            assign.join(keyed, "id")
+            .select("cluster", F.posexplode("vec").alias("idx", "val"))
+            .groupBy("cluster", "idx")
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["idx"]] = float(r["s"]) / r["n"]
+        centroids = [
+            [by_cluster[c][i] for i in sorted(by_cluster[c])]
+            if c in by_cluster
+            else centroids[c]  # empty cluster keeps its centroid
+            for c in range(n_clusters)
+        ]
+    return centroids, ivf_assign(keyed, "id", "vec", centroids)
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """(id, cluster): nearest centroid by cosine — |v| is a common factor,
+    so argmax of dot with the NORMALIZED centroids suffices."""
+    scores = F.array(
+        *[_dot_lit(F.col(vec_col), _normalize(c)) for c in centroids]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int")
+        .alias("cluster"),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    assign: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN through the IVF index: rank centroids against the query on the
+    driver (K-sized, no job), scan only the ``nprobe`` nearest clusters,
+    exact cosine re-rank inside them. With the assignment stored
+    ``partitionBy(cluster)`` (write_ivf_index) the cluster filter is a
+    partition filter and the probe reads nprobe/K of the index."""
+    import math
+
+    qn = _normalize([float(x) for x in query_vec])
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(a * b for a, b in zip(_normalize(centroids[i]), qn)),
+            i,
+        ),
+    )
+    probe = ranked[:nprobe]
+    cand = assign.filter(F.col("cluster").isin([int(c) for c in probe]))
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return (
+        cand.join(vecs, "id")
+        .withColumn("score", cosine_col(F.col("vec"), _query_lit(query_vec)))
+        .select("id", "score")
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def write_ivf_index(assign: DataFrame, path: str) -> None:
+    """Store the (id, cluster) assignment partitioned by cluster — the
+    nprobe filter of ``ivf_topk`` becomes a partition filter, mirroring
+    the (band, key) layout of ``write_lsh_index``."""
+    assign.write.mode("overwrite").partitionBy("cluster").parquet(path)
 
 
 def knn_self_join(

@@ -2140,6 +2140,63 @@ def sql_events_gaps():
     """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (operators/similarity.ivf_*): deterministic k-means coarse
+    quantizer + nprobe cluster scan + exact re-rank (rows-only like
+    ann_lsh: float centroids have no SQL analogue; pytest pins that
+    nprobe=K reproduces brute force exactly and bench.py reports the
+    measured recall). Scores rounded and fully tie-broken."""
+    from knowledge_nexus_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base = emb.filter("vec_id <> 0")
+    centroids, assign = ivf_build(base, "vec_id", "embedding", n_clusters=8, iters=2)
+    res = ivf_topk(
+        base, assign, centroids, "vec_id", "embedding", qv, k=10, nprobe=3
+    )
+    return res.select("id", F.round("score", 4).alias("score"))
+
+
+def q_events_agg_view(spark, sf_dir):
+    """Incremental aggregate-view maintenance (storage/aggview) under the
+    hard gate: the event stream is split into a base batch and two CDC
+    deltas (by event_id mod 3 — deterministic), the view is built from
+    the base and updated by merging each delta's PARTIAL aggregate
+    states, and the final read must equal a plain GROUP BY over all rows
+    — which is exactly what the oracle computes. At 100 TB each
+    maintenance round shuffles delta partials + touched view groups,
+    never the history."""
+    from knowledge_nexus_spark.storage.aggview import (
+        agg_partial,
+        finalize,
+        merge_states,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    keys = ["event_type"]
+    base = ev.filter(F.col("event_id") % 3 == 0)
+    d1 = ev.filter(F.col("event_id") % 3 == 1)
+    d2 = ev.filter(F.col("event_id") % 3 == 2)
+    view = agg_partial(base, keys, "value")
+    view = merge_states(view, agg_partial(d1, keys, "value"), keys)
+    view = merge_states(view, agg_partial(d2, keys, "value"), keys)
+    return finalize(view, keys).orderBy("event_type")
+
+
+def sql_events_agg_view():
+    return """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS v_sum,
+           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(value), 4) AS v_avg,
+           min(value) AS v_min,
+           max(value) AS v_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -2203,6 +2260,8 @@ QUERIES = {
     "docs_tfidf": q_docs_tfidf,
     "events_json": q_events_json,
     "events_gaps": q_events_gaps,
+    "events_agg_view": q_events_agg_view,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLE_SQL = {
@@ -2269,4 +2328,5 @@ ORACLE_SQL = {
     "docs_tfidf": sql_docs_tfidf(),
     "events_json": sql_events_json(),
     "events_gaps": sql_events_gaps(),
+    "events_agg_view": sql_events_agg_view(),
 }

@@ -212,3 +212,47 @@ def test_knn_self_join_shape(spark):
     per_id = knn.groupBy("id").count().collect()
     assert all(r["count"] <= 3 for r in per_id)
     assert knn.filter(F.col("id") == F.col("neighbor")).count() == 0
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """With nprobe = K the IVF probe scans every cluster, so the result
+    must equal brute-force cosine top-k EXACTLY — the correctness
+    invariant that survives any quantizer quality."""
+    from knowledge_nexus_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base = emb.filter("vec_id <> 0")
+    cents, assign = ivf_build(base, "vec_id", "embedding", n_clusters=4, iters=2)
+    full = ivf_topk(base, assign, cents, "vec_id", "embedding", qv, 10, nprobe=4)
+    brute = cosine_topk(base, "vec_id", "embedding", qv, 10)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in brute.collect()]
+
+
+def test_ivf_deterministic_across_partitioning(spark):
+    """Centroids and assignment must be identical under different input
+    partitioning — decimal sums + md5-seeded init leave nothing to
+    aggregation order."""
+    from knowledge_nexus_spark.operators.similarity import ivf_build
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter("vec_id <> 0")
+    c1, a1 = ivf_build(emb.repartition(1), "vec_id", "embedding", 4, iters=2)
+    c2, a2 = ivf_build(
+        emb.repartition(16, "vec_id"), "vec_id", "embedding", 4, iters=2
+    )
+    assert c1 == c2
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_ivf_partial_probe_recall(spark):
+    """nprobe=2 of 4 clusters: recall@10 is reported-style asserted at a
+    floor; the point of IVF is reading nprobe/K of the index."""
+    from knowledge_nexus_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base = emb.filter("vec_id <> 0")
+    cents, assign = ivf_build(base, "vec_id", "embedding", n_clusters=4, iters=2)
+    got = {r.id for r in ivf_topk(base, assign, cents, "vec_id", "embedding", qv, 10, nprobe=2).collect()}
+    exact = {r.id for r in cosine_topk(base, "vec_id", "embedding", qv, 10).collect()}
+    assert len(got & exact) / 10 >= 0.5
