@@ -2197,6 +2197,177 @@ def sql_events_agg_view():
     """
 
 
+def q_kg_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation (table diff): FULL OUTER join of two
+    deterministic corpus versions classifying every doc as added /
+    removed / changed (unchanged rows dropped early). The one join
+    shuffles narrow (doc_id, fingerprint) projections, never the text —
+    at 100 TB diffing is a fingerprint problem, not a payload problem."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("b_id"), F.col("n_chars").alias("b_chars")
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 2, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    j = base.join(new, base["b_id"] == new["doc_id"], "full_outer")
+    return (
+        j.select(
+            F.coalesce("doc_id", "b_id").alias("doc_id"),
+            F.when(F.col("b_id").isNull(), "added")
+            .when(F.col("doc_id").isNull(), "removed")
+            .when(F.col("b_chars") != F.col("n_chars"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+        .filter(F.col("status") != "unchanged")
+        .orderBy("doc_id")
+    )
+
+
+def sql_kg_snapshot_diff():
+    return """
+    WITH base AS (
+      SELECT doc_id AS b_id, n_chars AS b_chars FROM documents
+      WHERE doc_id % 10 <> 0),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 2 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % 10 <> 1)
+    SELECT coalesce(doc_id, b_id) AS doc_id,
+           CASE WHEN b_id IS NULL THEN 'added'
+                WHEN doc_id IS NULL THEN 'removed'
+                WHEN b_chars <> n_chars THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM base FULL OUTER JOIN new ON b_id = doc_id
+    WHERE (CASE WHEN b_id IS NULL THEN 'added'
+                WHEN doc_id IS NULL THEN 'removed'
+                WHEN b_chars <> n_chars THEN 'changed'
+                ELSE 'unchanged' END) <> 'unchanged'
+    ORDER BY doc_id
+    """
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): per user, the earliest
+    view, the earliest click AFTER that view, the earliest purchase
+    after that click — min-over-filtered conditional aggregation, two
+    grouped passes on the user key, no self-joins (a 3-way self-join
+    explodes on active users; the min-chain is linear). Emits per-stage
+    reached flags so the funnel counts are visible per user."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    typed = ev.select("user_id", F.col("event_type").alias("t"), us.alias("us"))
+    first_view = typed.filter(F.col("t") == "view").groupBy("user_id").agg(
+        F.min("us").alias("v_us")
+    )
+    clicks = typed.filter(F.col("t") == "click").join(first_view, "user_id")
+    first_click = (
+        clicks.filter(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"), F.first("v_us").alias("v_us"))
+    )
+    buys = typed.filter(F.col("t") == "purchase").join(first_click, "user_id")
+    first_buy = (
+        buys.filter(F.col("us") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    return (
+        first_view.join(first_click.select("user_id", "c_us"), "user_id", "left")
+        .join(first_buy, "user_id", "left")
+        .select(
+            "user_id",
+            F.lit(True).alias("viewed"),
+            F.col("c_us").isNotNull().alias("clicked_after"),
+            F.col("p_us").isNotNull().alias("purchased_after"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def sql_events_funnel():
+    return """
+    WITH typed AS (
+      SELECT user_id, event_type AS t, epoch_us(ts) AS us FROM events),
+    fv AS (SELECT user_id, min(us) AS v_us FROM typed WHERE t = 'view'
+           GROUP BY user_id),
+    fc AS (SELECT c.user_id, min(c.us) AS c_us
+           FROM typed c JOIN fv USING (user_id)
+           WHERE c.t = 'click' AND c.us >= fv.v_us GROUP BY c.user_id),
+    fp AS (SELECT p.user_id, min(p.us) AS p_us
+           FROM typed p JOIN fc USING (user_id)
+           WHERE p.t = 'purchase' AND p.us >= fc.c_us GROUP BY p.user_id)
+    SELECT fv.user_id, TRUE AS viewed,
+           fc.user_id IS NOT NULL AS clicked_after,
+           fp.user_id IS NOT NULL AS purchased_after
+    FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)
+    ORDER BY fv.user_id
+    """
+
+
+def q_docs_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling (training-data curation: a fixed
+    per-language quota, reproducible across runs/engines): rank by
+    md5(doc_id) inside each stratum, keep the first 5 — the md5 order is
+    a content-independent pseudo-random permutation both engines
+    compute identically; one shuffle on the stratum key."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
+
+
+def sql_docs_stratified_sample():
+    return """
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 5 ORDER BY lang, rk
+    """
+
+
+def q_events_ntile(spark, sf_dir):
+    """Quartile binning per event type (ntile window) then per-bin
+    decimal stats — the standard score-distribution report. Fully
+    tie-broken ordering makes the bin assignment deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(4).over(w).alias("q"))
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("v_lo"),
+            F.round(F.max("value"), 4).alias("v_hi"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+def sql_events_ntile():
+    return """
+    SELECT event_type, q, count(*) AS n,
+           round(min(value), 4) AS v_lo, round(max(value), 4) AS v_hi
+    FROM (
+      SELECT event_type, value, event_id,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS q
+      FROM events)
+    GROUP BY event_type, q ORDER BY event_type, q
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -2262,6 +2433,10 @@ QUERIES = {
     "events_gaps": q_events_gaps,
     "events_agg_view": q_events_agg_view,
     "ann_ivf": q_ann_ivf,
+    "kg_snapshot_diff": q_kg_snapshot_diff,
+    "events_funnel": q_events_funnel,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "events_ntile": q_events_ntile,
 }
 
 ORACLE_SQL = {
@@ -2329,4 +2504,8 @@ ORACLE_SQL = {
     "events_json": sql_events_json(),
     "events_gaps": sql_events_gaps(),
     "events_agg_view": sql_events_agg_view(),
+    "kg_snapshot_diff": sql_kg_snapshot_diff(),
+    "events_funnel": sql_events_funnel(),
+    "docs_stratified_sample": sql_docs_stratified_sample(),
+    "events_ntile": sql_events_ntile(),
 }

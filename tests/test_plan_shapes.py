@@ -295,3 +295,15 @@ def test_q15_argmax_broadcasts_single_row_max(spark):
 
     plan = _plan(q_tpch_q15_adapted(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_diff_never_shuffles_text(spark):
+    """The full-outer reconciliation must join narrow (doc_id, n_chars)
+    projections — the text payload below the join Exchange would make
+    table diff a payload-shuffle problem at 100 TB."""
+    from knowledge_nexus_spark.plans.driver_queries import q_kg_snapshot_diff
+
+    plan = _plan(q_kg_snapshot_diff(spark, SF))
+    assert "FullOuter" in plan
+    read = plan.split("ReadSchema")[1][:300]
+    assert "text" not in read and "doc_id" in read
