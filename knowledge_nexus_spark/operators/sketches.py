@@ -117,18 +117,22 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     Returns (key_col, cms_est BIGINT), an upper bound on the true count
     (classic CM overestimate). The sketch is ≤ DEPTH·WIDTH rows, so the
     join broadcasts regardless of how many keys are probed."""
+    # The internal stringified-key alias must not collide with the
+    # caller's key column name (key_col == "v" is legal).
     probes = keys.select(F.col(key_col)).distinct().select(
         F.col(key_col),
-        F.col(key_col).cast("string").alias("v"),
+        F.col(key_col).cast("string").alias("__cms_v"),
         F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r"),
     )
     probes = probes.withColumn(
         "b",
         F.pmod(
-            md5_hash64(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("v"))),
+            md5_hash64(
+                F.concat(F.col("r").cast("string"), F.lit(":"), F.col("__cms_v"))
+            ),
             F.lit(CMS_WIDTH),
         ),
-    )
+    ).drop("__cms_v")
     return (
         probes.join(F.broadcast(sketch), ["r", "b"], "left")
         .groupBy(key_col)
@@ -191,18 +195,21 @@ def bloom_might_contain(
     are set. No false negatives; false positives at the classic
     (1 - e^(-kn/m))^k rate. The broadcast left-join + count==k is the
     whole membership test — no bitset type needed."""
+    # Collision-free internal alias: key_col == "v" is legal.
     probes = keys.select(F.col(key_col)).distinct().select(
         F.col(key_col),
-        F.col(key_col).cast("string").alias("v"),
+        F.col(key_col).cast("string").alias("__bloom_v"),
         F.explode(F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])).alias("i"),
     )
     probes = probes.withColumn(
         "pos",
         F.pmod(
-            md5_hash64(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("v"))),
+            md5_hash64(
+                F.concat(F.col("i").cast("string"), F.lit(":"), F.col("__bloom_v"))
+            ),
             F.lit(BLOOM_BITS),
         ),
-    )
+    ).drop("__bloom_v")
     hit = F.broadcast(bloom.withColumn("hit", F.lit(1)))
     return (
         probes.join(hit, ["i", "pos"], "left")

@@ -2368,6 +2368,187 @@ def sql_events_ntile():
     """
 
 
+def q_events_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity date, distinct
+    active users at each day offset — THE growth-analytics table. Two
+    shuffles on user_id (min-date, then the activity equi-join back) and
+    one on (cohort, offset); the cohort map is (user_id, date) narrow, so
+    the join never carries event payloads. date_diff is exact integer
+    day arithmetic in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        act.join(first, "user_id")
+        .select("user_id", "cohort_d", F.datediff("d", "cohort_d").alias("off"))
+        .filter(F.col("off") <= 7)
+        .groupBy("cohort_d", "off")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_d", "off")
+    )
+
+
+def sql_events_cohort_retention():
+    return """
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT user_id, min(d) AS cohort_d FROM act GROUP BY user_id)
+    SELECT f.cohort_d, date_diff('day', f.cohort_d, a.d) AS off,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN f USING (user_id)
+    WHERE date_diff('day', f.cohort_d, a.d) <= 7
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup: an arriving batch (doc_id % 5 == 0)
+    anti-joined on a content fingerprint (md5 of the leading 60 chars —
+    catches the corpus's shared-prefix near-dups, so both admit and
+    reject paths are exercised) against the already-ingested corpus,
+    then deduped within itself (min doc_id per fingerprint). At 100 TB
+    the anti-join shuffles 32-byte hashes, never text, and the base side
+    is a hash-only projection of the existing corpus — the standard
+    new-data-only admission gate in a training-data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.substring("text", 1, 60))
+    base = docs.filter(F.col("doc_id") % 5 != 0).select(fp.alias("h")).distinct()
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", fp.alias("h"))
+    return (
+        batch.join(base, "h", "left_anti")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def sql_dedup_incremental():
+    return """
+    WITH base AS (SELECT DISTINCT md5(substr(text, 1, 60)) AS h FROM documents
+                  WHERE doc_id % 5 <> 0),
+    b AS (SELECT doc_id, md5(substr(text, 1, 60)) AS h FROM documents
+          WHERE doc_id % 5 = 0)
+    SELECT min(doc_id) AS doc_id FROM b
+    WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.h = b.h)
+    GROUP BY h ORDER BY doc_id
+    """
+
+
+# Edit-distance near-dup predicate: length within EDIT_LEN_TOL chars AND
+# prefix-60 Levenshtein <= EDIT_DIST_MAX. The length tolerance makes
+# length-band blocking LOSSLESS: with bucket width EDIT_LEN_TOL + 1, any
+# qualifying pair sits in the same or adjacent buckets.
+EDIT_LEN_TOL = 10
+EDIT_DIST_MAX = 2
+
+
+def q_dedup_edit_distance(spark, sf_dir):
+    """Fuzzy (edit-distance) near-dup pairs with lossless length-band
+    blocking: each doc lands in bucket floor(n_chars / (TOL+1)); the left
+    side explodes into {b-1, b, b+1} so the equi-join on bucket covers
+    every pair within the length tolerance — candidates drop from O(n^2)
+    to per-band, and Levenshtein (quadratic per pair) runs only on
+    survivors. Both engines compute classic unit-cost edit distance, so
+    the pair set value-matches exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    w = EDIT_LEN_TOL + 1
+    d = docs.select(
+        "doc_id",
+        F.substring("text", 1, 60).alias("p"),
+        "n_chars",
+        F.floor(F.col("n_chars") / w).alias("bkt"),
+    )
+    left = d.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("p").alias("a_p"),
+        F.col("n_chars").alias("a_len"),
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("bkt"),
+    )
+    return (
+        left.join(d, "bkt")
+        .filter(
+            (F.col("a_id") < F.col("doc_id"))
+            & (F.abs(F.col("a_len") - F.col("n_chars")) <= EDIT_LEN_TOL)
+            & (F.levenshtein("a_p", "p") <= EDIT_DIST_MAX)
+        )
+        .select(F.col("a_id"), F.col("doc_id").alias("b_id"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def sql_dedup_edit_distance():
+    return f"""
+    WITH d AS (SELECT doc_id, substr(text, 1, 60) AS p, n_chars FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= {EDIT_LEN_TOL}
+     AND levenshtein(a.p, b.p) <= {EDIT_DIST_MAX}
+    ORDER BY a_id, b_id
+    """
+
+
+def q_kg_degree_hist(spark, sf_dir):
+    """Degree distribution of the full KG — pipeline link edges UNION the
+    gazetteer MENTIONS edges, whose 6 hub terms populate the high-degree
+    tail — as a log2-bucketed histogram via binary digit count (pure
+    integer semantics, no float log in either engine). The first
+    diagnostic run on any web-scale graph, and the input to skew
+    decisions (hub separation, salting). One shuffle to count per node,
+    one tiny one for the histogram."""
+    flat = _t(spark, sf_dir, "documents")
+    docs = flat_docs_to_span_docs(flat)
+    res = build_graph(spark, docs, PipelineConfig(render_content=False))
+    link_edges = res.edges.select("subj", "obj").distinct()
+    mention_edges = (
+        flat.select(
+            F.col("doc_id").cast("string").alias("subj"),
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("obj"),
+        )
+        .filter(F.col("obj").isin(GAZETTEER))
+        .distinct()
+    )
+    edges = link_edges.unionByName(mention_edges).distinct()
+    nodes = edges.select(F.col("subj").alias("node")).unionAll(
+        edges.select(F.col("obj").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.select(F.length(F.bin("deg")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("bucket")
+    )
+
+
+def sql_kg_degree_hist():
+    quoted = ", ".join(f"'{g}'" for g in GAZETTEER)
+    return f"""
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    edges AS (
+      SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj,
+             CAST((doc_id*31+7) % (SELECT c FROM n) AS VARCHAR) AS obj
+      FROM documents
+      UNION
+      SELECT DISTINCT CAST(doc_id AS VARCHAR),
+             CAST((doc_id*17+3) % (SELECT c FROM n) AS VARCHAR)
+      FROM documents
+      UNION
+      SELECT DISTINCT CAST(doc_id AS VARCHAR), tok FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents)
+      WHERE tok IN ({quoted})),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT subj AS node FROM edges
+        UNION ALL SELECT obj AS node FROM edges)
+      GROUP BY node)
+    SELECT CAST(length(bin(deg)) AS INTEGER) AS bucket, count(*) AS n_nodes
+    FROM deg GROUP BY 1 ORDER BY 1
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -2437,6 +2618,10 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "docs_stratified_sample": q_docs_stratified_sample,
     "events_ntile": q_events_ntile,
+    "events_cohort_retention": q_events_cohort_retention,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_edit_distance": q_dedup_edit_distance,
+    "kg_degree_hist": q_kg_degree_hist,
 }
 
 ORACLE_SQL = {
@@ -2508,4 +2693,8 @@ ORACLE_SQL = {
     "events_funnel": sql_events_funnel(),
     "docs_stratified_sample": sql_docs_stratified_sample(),
     "events_ntile": sql_events_ntile(),
+    "events_cohort_retention": sql_events_cohort_retention(),
+    "dedup_incremental": sql_dedup_incremental(),
+    "dedup_edit_distance": sql_dedup_edit_distance(),
+    "kg_degree_hist": sql_kg_degree_hist(),
 }
