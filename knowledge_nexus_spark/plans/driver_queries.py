@@ -2549,6 +2549,100 @@ def sql_kg_degree_hist():
     """
 
 
+def q_tpch_q2_adapted(spark, sf_dir):
+    """Q2-style per-group argmin by AGG + JOIN-BACK, not a window sort:
+    compute min(l_extendedprice) per part, equi-join it back to recover
+    the achieving rows, break ties with a second min. At scale the
+    two-phase aggregate (map-side partials) + hash join beats sorting
+    every group that a row_number window requires — the complementary
+    plan shape to docs_topk_per_lang. No arithmetic touches the price,
+    so the double equality join is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    m = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    return (
+        li.alias("a")
+        .join(
+            m.alias("m"),
+            (F.col("a.l_partkey") == F.col("m.l_partkey"))
+            & (F.col("a.l_extendedprice") == F.col("m.min_price")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_id"),
+            F.col("a.l_suppkey").alias("supp"),
+            F.col("m.min_price").alias("min_price"),
+        )
+        .groupBy("part_id", "min_price")
+        .agg(F.min("supp").alias("supp_id"))
+        .select("part_id", "supp_id", F.round("min_price", 2).alias("min_price"))
+        .orderBy("part_id")
+    )
+
+
+def sql_tpch_q2_adapted():
+    return """
+    WITH m AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+               FROM lineitem GROUP BY l_partkey)
+    SELECT li.l_partkey AS part_id, min(li.l_suppkey) AS supp_id,
+           round(m.min_price, 2) AS min_price
+    FROM lineitem li JOIN m ON li.l_partkey = m.l_partkey
+                          AND li.l_extendedprice = m.min_price
+    GROUP BY li.l_partkey, m.min_price
+    ORDER BY part_id
+    """
+
+
+def q_events_anomaly(spark, sf_dir):
+    """3-sigma anomaly detection per event type with EXACT cross-engine
+    arithmetic: values scale to integer micro-units, per-group sums and
+    sums-of-squares stay in DECIMAL(38,0), and the threshold test
+    (n*v - s)^2 * (n-1) > 9 * n * (n*s2 - s^2) is the z-score inequality
+    cleared of divisions — every comparison is exact integer math, so the
+    outlier SET is bit-identical in any engine. One grouped pass for the
+    moments (map-side partials), one broadcast-sized join back (5 stat
+    rows)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.round(F.col("value") * 1000000).cast("long").alias("vi"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    st = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.sum("vi")).alias("s"),
+        dec(F.sum(dec(F.col("vi")) * F.col("vi"))).alias("s2"),
+    )
+    d = dec(F.col("n") * F.col("vi")) - F.col("s")
+    lhs = d * d * dec(F.col("n") - 1)
+    rhs = dec(F.lit(9)) * dec(F.col("n")) * (dec(F.col("n")) * F.col("s2") - F.col("s") * F.col("s"))
+    return (
+        v.join(F.broadcast(st), "event_type")
+        .filter(lhs > rhs)
+        .select("event_type", "event_id", F.round("value", 4).alias("value"))
+        .orderBy("event_type", "event_id")
+    )
+
+
+def sql_events_anomaly():
+    return """
+    WITH v AS (SELECT event_type, event_id, value,
+                      CAST(round(value * 1000000) AS BIGINT) AS vi FROM events),
+    st AS (SELECT event_type, count(*) AS n,
+                  CAST(sum(vi) AS DECIMAL(38,0)) AS s,
+                  CAST(sum(CAST(vi AS DECIMAL(38,0)) * vi) AS DECIMAL(38,0)) AS s2
+           FROM v GROUP BY event_type)
+    SELECT v.event_type, v.event_id, round(v.value, 4) AS value
+    FROM v JOIN st USING (event_type)
+    WHERE CAST((st.n * v.vi - st.s) AS DECIMAL(38,0)) * (st.n * v.vi - st.s)
+          * (st.n - 1)
+          > 9 * st.n * (st.n * st.s2 - st.s * st.s)
+    ORDER BY v.event_type, v.event_id
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -2622,6 +2716,8 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_edit_distance": q_dedup_edit_distance,
     "kg_degree_hist": q_kg_degree_hist,
+    "tpch_q2_adapted": q_tpch_q2_adapted,
+    "events_anomaly": q_events_anomaly,
 }
 
 ORACLE_SQL = {
@@ -2697,4 +2793,6 @@ ORACLE_SQL = {
     "dedup_incremental": sql_dedup_incremental(),
     "dedup_edit_distance": sql_dedup_edit_distance(),
     "kg_degree_hist": sql_kg_degree_hist(),
+    "tpch_q2_adapted": sql_tpch_q2_adapted(),
+    "events_anomaly": sql_events_anomaly(),
 }

@@ -297,6 +297,27 @@ def test_q15_argmax_broadcasts_single_row_max(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q2_argmin_uses_join_back_not_window(spark):
+    """The per-group argmin must compile to agg + hash-join-back — a
+    Window/row_number plan would sort every group, which is the shape
+    this query exists to avoid (docs_topk_per_lang covers the window
+    form)."""
+    from knowledge_nexus_spark.plans.driver_queries import q_tpch_q2_adapted
+
+    plan = _plan(q_tpch_q2_adapted(spark, SF))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_anomaly_broadcasts_group_stats(spark):
+    """The per-type moment table is group-cardinality-sized; joining it
+    back must broadcast, never shuffle the event stream."""
+    from knowledge_nexus_spark.plans.driver_queries import q_events_anomaly
+
+    plan = _plan(q_events_anomaly(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_snapshot_diff_never_shuffles_text(spark):
     """The full-outer reconciliation must join narrow (doc_id, n_chars)
     projections — the text payload below the join Exchange would make
