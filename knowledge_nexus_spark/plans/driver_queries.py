@@ -2643,6 +2643,97 @@ def sql_events_anomaly():
     """
 
 
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/C4-style): find training docs
+    sharing any word-8-gram with a held-out benchmark set (doc_id % 10 ==
+    7), reporting the shared-shingle count per (train, bench) pair. Each
+    side reduces to DISTINCT (doc_id, md5(shingle)) before the join, so
+    the overlap join shuffles 32-byte hashes — at 100 TB the benchmark
+    side is tiny and broadcasts; the train side never re-shuffles its
+    text. Short docs (<8 tokens) degrade to one whole-doc shingle in both
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 8, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 8)))
+    d = (
+        docs.select("doc_id", F.explode(shingles).alias("s"))
+        .select("doc_id", F.md5("s").alias("h"))
+        .distinct()
+    )
+    train = d.filter(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("train_id"), "h"
+    )
+    bench = d.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("train_id", "bench_id")
+    )
+
+
+def sql_dedup_decontaminate():
+    return """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, greatest(len(tk) - 7, 1)),
+               j -> array_to_string(tk[j + 1 : j + 8], ' '))) AS s
+      FROM toks),
+    d AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh)
+    SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+    FROM d t JOIN d b USING (h)
+    WHERE t.doc_id % 10 <> 7 AND b.doc_id % 10 = 7
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filter: per-doc duplicate-bigram fraction,
+    flagged entirely in integer arithmetic (nd * 20 < n * 19 ⇔ distinct
+    ratio < 0.95) so the flag is bit-identical cross-engine — no float
+    division anywhere. One explode + one grouped pass; the counts stay
+    with the doc key, nothing re-joins."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    return (
+        docs.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n2"),
+            F.countDistinct("g").alias("n2_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n2",
+            "n2_distinct",
+            (F.col("n2_distinct") * 20 < F.col("n2") * 19).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_text_repetition():
+    return """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, greatest(len(tk) - 1, 1)),
+               j -> array_to_string(tk[j + 1 : j + 2], ' '))) AS g
+      FROM toks)
+    SELECT doc_id, count(*) AS n2, count(DISTINCT g) AS n2_distinct,
+           count(DISTINCT g) * 20 < count(*) * 19 AS repetitive
+    FROM bg GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -2718,6 +2809,8 @@ QUERIES = {
     "kg_degree_hist": q_kg_degree_hist,
     "tpch_q2_adapted": q_tpch_q2_adapted,
     "events_anomaly": q_events_anomaly,
+    "dedup_decontaminate": q_dedup_decontaminate,
+    "text_repetition": q_text_repetition,
 }
 
 ORACLE_SQL = {
@@ -2795,4 +2888,6 @@ ORACLE_SQL = {
     "kg_degree_hist": sql_kg_degree_hist(),
     "tpch_q2_adapted": sql_tpch_q2_adapted(),
     "events_anomaly": sql_events_anomaly(),
+    "dedup_decontaminate": sql_dedup_decontaminate(),
+    "text_repetition": sql_text_repetition(),
 }
