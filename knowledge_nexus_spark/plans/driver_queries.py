@@ -2734,6 +2734,39 @@ def sql_text_repetition():
     """
 
 
+def q_events_salted_agg(spark, sf_dir):
+    """Skew-proof two-phase (salted) aggregation: partials on
+    (event_type, salt=event_id mod 16), then a final merge on event_type
+    alone. On a skewed key the first shuffle spreads the hot group over
+    16 reducers and the second moves only 16 partial rows per group —
+    the standard hot-key defence, here under the value gate: DECIMAL
+    partials are associative, so the salted total is provably equal to
+    the oracle's single-phase sum."""
+    ev = _t(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type", F.pmod(F.col("event_id"), F.lit(16)).alias("salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(_dec(F.col("value"), 28, 6)).alias("ps"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("ps").cast("double"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sql_events_salted_agg():
+    return """
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -2811,6 +2844,7 @@ QUERIES = {
     "events_anomaly": q_events_anomaly,
     "dedup_decontaminate": q_dedup_decontaminate,
     "text_repetition": q_text_repetition,
+    "events_salted_agg": q_events_salted_agg,
 }
 
 ORACLE_SQL = {
@@ -2890,4 +2924,5 @@ ORACLE_SQL = {
     "events_anomaly": sql_events_anomaly(),
     "dedup_decontaminate": sql_dedup_decontaminate(),
     "text_repetition": sql_text_repetition(),
+    "events_salted_agg": sql_events_salted_agg(),
 }

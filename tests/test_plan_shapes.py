@@ -318,6 +318,17 @@ def test_anomaly_broadcasts_group_stats(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_salted_agg_shuffles_on_salt_first(spark):
+    """The salted aggregate must keep the salt column in its first
+    shuffle key — without it the plan degenerates to the single-phase
+    hot-key shuffle the query exists to avoid."""
+    from knowledge_nexus_spark.plans.driver_queries import q_events_salted_agg
+
+    plan = _plan(q_events_salted_agg(spark, SF))
+    assert "pmod" in plan  # the salt expression survives into the keys
+    assert plan.count("HashAggregate") >= 4  # partial+final for both phases
+
+
 def test_snapshot_diff_never_shuffles_text(spark):
     """The full-outer reconciliation must join narrow (doc_id, n_chars)
     projections — the text payload below the join Exchange would make
