@@ -2767,6 +2767,39 @@ def sql_events_salted_agg():
     """
 
 
+def q_docs_mix_weights(spark, sf_dir):
+    """Temperature-mix sampling weights per (lang, length-bucket) stratum
+    — weight ∝ sqrt(count), the alpha=0.5 resampling temperature used to
+    rebalance a training mix without flattening it. One grouped count;
+    the normalizer is a window sum over the group-cardinality-sized
+    result, so nothing re-shuffles the corpus. IEEE sqrt is
+    correctly-rounded in both engines, so the weights agree exactly
+    before the 6dp round."""
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        docs.select("lang", F.expr("n_chars div 200").alias("len_bucket"))
+        .groupBy("lang", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    return c.select(
+        "lang",
+        "len_bucket",
+        "n",
+        F.round(F.sqrt("n") / F.sum(F.sqrt("n")).over(w), 6).alias("weight"),
+    ).orderBy("lang", "len_bucket")
+
+
+def sql_docs_mix_weights():
+    return """
+    WITH c AS (SELECT lang, n_chars // 200 AS len_bucket, count(*) AS n
+               FROM documents GROUP BY 1, 2)
+    SELECT lang, len_bucket, n,
+           round(sqrt(n) / sum(sqrt(n)) OVER (), 6) AS weight
+    FROM c ORDER BY lang, len_bucket
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -2845,6 +2878,7 @@ QUERIES = {
     "dedup_decontaminate": q_dedup_decontaminate,
     "text_repetition": q_text_repetition,
     "events_salted_agg": q_events_salted_agg,
+    "docs_mix_weights": q_docs_mix_weights,
 }
 
 ORACLE_SQL = {
@@ -2925,4 +2959,5 @@ ORACLE_SQL = {
     "dedup_decontaminate": sql_dedup_decontaminate(),
     "text_repetition": sql_text_repetition(),
     "events_salted_agg": sql_events_salted_agg(),
+    "docs_mix_weights": sql_docs_mix_weights(),
 }
