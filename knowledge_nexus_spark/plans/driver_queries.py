@@ -2800,6 +2800,36 @@ def sql_docs_mix_weights():
     """
 
 
+def q_events_argmax(spark, sf_dir):
+    """Per-user argmax by STRUCT-MAX — the cheapest argmax shape: one
+    partial-aggregating shuffle, no window sort, no join-back. max over
+    (value, event_id) structs is lexicographic in both engines, so the
+    tie-break is deterministic and the winner row is identical
+    cross-engine (raw doubles compared exactly, no arithmetic)."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.max(F.struct(F.col("value").alias("v"), F.col("event_id").alias("e")))
+    return (
+        ev.groupBy("user_id")
+        .agg(s.alias("s"))
+        .select(
+            "user_id",
+            F.round(F.col("s.v"), 4).alias("value"),
+            F.col("s.e").alias("event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def sql_events_argmax():
+    return """
+    WITH m AS (SELECT user_id,
+                      max(struct_pack(v := value, e := event_id)) AS s
+               FROM events GROUP BY user_id)
+    SELECT user_id, round(s.v, 4) AS value, s.e AS event_id
+    FROM m ORDER BY user_id
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -2879,6 +2909,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "events_salted_agg": q_events_salted_agg,
     "docs_mix_weights": q_docs_mix_weights,
+    "events_argmax": q_events_argmax,
 }
 
 ORACLE_SQL = {
@@ -2960,4 +2991,5 @@ ORACLE_SQL = {
     "text_repetition": sql_text_repetition(),
     "events_salted_agg": sql_events_salted_agg(),
     "docs_mix_weights": sql_docs_mix_weights(),
+    "events_argmax": sql_events_argmax(),
 }
