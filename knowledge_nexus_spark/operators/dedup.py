@@ -31,6 +31,54 @@ from pyspark.sql import functions as F
 
 from knowledge_nexus_spark.functions.embed import cosine_col
 
+# --- edit distance -------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str | None = None,
+    prefix: int = 60,
+    len_tol: int = 10,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Fuzzy near-dup pairs (a_id, b_id): length within ``len_tol`` AND
+    Levenshtein over the first ``prefix`` chars ≤ ``max_dist``.
+
+    Blocking is LOSSLESS by construction: with bucket width len_tol + 1
+    on the length, any qualifying pair sits in the same or adjacent
+    buckets, so exploding one side into {b-1, b, b+1} and equi-joining on
+    the bucket covers every pair the predicate admits — candidates drop
+    from O(n²) to per-band, and the quadratic-per-pair Levenshtein runs
+    only on survivors. ``len_col`` defaults to length(text_col)."""
+    length = (F.col(len_col) if len_col else F.length(F.col(text_col))).cast("long")
+    w = len_tol + 1
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.substring(text_col, 1, prefix).alias("_p"),
+        length.alias("_len"),
+        F.floor(length / w).alias("_bkt"),
+    )
+    left = d.select(
+        F.col("_id").alias("a_id"),
+        F.col("_p").alias("a_p"),
+        F.col("_len").alias("a_len"),
+        F.explode(
+            F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)
+        ).alias("_bkt"),
+    )
+    return (
+        left.join(d, "_bkt")
+        .filter(
+            (F.col("a_id") < F.col("_id"))
+            & (F.abs(F.col("a_len") - F.col("_len")) <= len_tol)
+            & (F.levenshtein("a_p", "_p") <= max_dist)
+        )
+        .select("a_id", F.col("_id").alias("b_id"))
+    )
+
+
 # --- exact ---------------------------------------------------------------
 
 

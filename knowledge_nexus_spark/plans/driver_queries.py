@@ -2451,31 +2451,15 @@ def q_dedup_edit_distance(spark, sf_dir):
     survivors. Both engines compute classic unit-cost edit distance, so
     the pair set value-matches exactly."""
     docs = _t(spark, sf_dir, "documents")
-    w = EDIT_LEN_TOL + 1
-    d = docs.select(
-        "doc_id",
-        F.substring("text", 1, 60).alias("p"),
-        "n_chars",
-        F.floor(F.col("n_chars") / w).alias("bkt"),
-    )
-    left = d.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("p").alias("a_p"),
-        F.col("n_chars").alias("a_len"),
-        F.explode(
-            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
-        ).alias("bkt"),
-    )
-    return (
-        left.join(d, "bkt")
-        .filter(
-            (F.col("a_id") < F.col("doc_id"))
-            & (F.abs(F.col("a_len") - F.col("n_chars")) <= EDIT_LEN_TOL)
-            & (F.levenshtein("a_p", "p") <= EDIT_DIST_MAX)
-        )
-        .select(F.col("a_id"), F.col("doc_id").alias("b_id"))
-        .orderBy("a_id", "b_id")
-    )
+    return dd.edit_distance_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        len_col="n_chars",
+        prefix=60,
+        len_tol=EDIT_LEN_TOL,
+        max_dist=EDIT_DIST_MAX,
+    ).orderBy("a_id", "b_id")
 
 
 def sql_dedup_edit_distance():
