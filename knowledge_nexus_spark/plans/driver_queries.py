@@ -2814,6 +2814,51 @@ def sql_events_argmax():
     """
 
 
+def q_docs_packing(spark, sf_dir):
+    """Sequence packing for LLM training: concatenate the corpus in a
+    deterministic md5 order and chunk the token stream at a 2048-token
+    budget — each doc's (bin, bin_offset) falls out of ONE window prefix
+    sum, no iteration, no driver loop. Docs may straddle bins (the
+    concat-and-chunk packing GPT-style training uses). The global-order
+    window is the honest cost: at 100 TB this runs as a range-partitioned
+    two-pass prefix sum (per-partition totals broadcast, then local
+    cumsum) — same algebra, same result, one extra tiny shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    budget = 2048
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    w = (
+        Window.orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select(
+        "doc_id", "n_tok", F.sum("n_tok").over(w).cast("long").alias("cum")
+    )
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        "doc_id",
+        (start / budget).cast("long").alias("bin"),
+        (start % budget).cast("long").alias("bin_offset"),
+    ).orderBy("doc_id")
+
+
+def sql_docs_packing():
+    return """
+    WITH t AS (SELECT doc_id,
+                      len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok,
+                      md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 CAST(sum(n_tok) OVER (ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM t)
+    SELECT doc_id, (cum - n_tok) // 2048 AS bin, (cum - n_tok) % 2048 AS bin_offset
+    FROM c ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -2894,6 +2939,7 @@ QUERIES = {
     "events_salted_agg": q_events_salted_agg,
     "docs_mix_weights": q_docs_mix_weights,
     "events_argmax": q_events_argmax,
+    "docs_packing": q_docs_packing,
 }
 
 ORACLE_SQL = {
@@ -2976,4 +3022,5 @@ ORACLE_SQL = {
     "events_salted_agg": sql_events_salted_agg(),
     "docs_mix_weights": sql_docs_mix_weights(),
     "events_argmax": sql_events_argmax(),
+    "docs_packing": sql_docs_packing(),
 }
