@@ -89,3 +89,31 @@ def rolling_hash(text: Column, base: int = 31, mod: int = (1 << 61) - 1) -> Colu
         lambda acc, t: (acc * base + F.abs(F.xxhash64(t)).cast("decimal(38,0)")) % F.lit(mod).cast("decimal(38,0)"),
         lambda acc: acc.cast("long"),
     )
+
+
+# Deliberately conservative patterns that mean the same thing to Java's
+# regex engine (Spark) and RE2 (DuckDB): character classes, bounded
+# quantifiers and \b only — no lookaround, no backrefs.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Native two-pass PII scrub (emails then phone-shaped tokens) —
+    regexp_replace stays inside whole-stage codegen, so redaction is a
+    pure projection: no shuffle, no Python, safe to fuse with the scan.
+    Emails first: the placeholders contain no digits, so the passes
+    cannot interact."""
+    return F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+
+
+def pii_email_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)).cast("long")
+
+
+def pii_phone_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0)).cast("long")

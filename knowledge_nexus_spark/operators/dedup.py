@@ -539,3 +539,54 @@ def embedding_neardup_pairs_exact(
         .filter(F.col("cosine") >= min_cosine)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )
+
+
+def substring_window_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    max_docs_per_window: int = 64,
+) -> DataFrame:
+    """Exact substring-window dedup at token granularity (the
+    "deduplicating training data" ExactSubstr idea re-shaped for a
+    shuffle engine): two docs pair iff they share ANY run of ``window``
+    consecutive tokens.
+
+    Scale shape: the sliding windows are generated NATIVELY inside one
+    projection (sequence + transform over the token array — no explode
+    of tokens, no Python) and immediately reduced to 32-hex md5
+    fingerprints, so the only wide exchange carries (fingerprint, id) —
+    never text. Windows shared by more than ``max_docs_per_window`` docs
+    are boilerplate (license blocks, navigation chrome); dropping them
+    BEFORE the self-join caps the pair fan-out per fingerprint at
+    C(cap, 2) — the heavy-hitter defence that keeps the join linear at
+    100 TB. The cap is part of the operator's contract (mirrored in the
+    oracle), not a silent truncation.
+
+    No reference analogue (training-data extension surface, SURVEY §8).
+    """
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("tk")).where(
+        F.size("tk") >= window
+    )
+    idx = F.sequence(F.lit(0), F.size("tk") - window)
+    wins = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i + 1, window)))
+    )
+    fp = base.select("id", F.explode(wins).alias("h")).distinct()
+    keep = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") <= max_docs_per_window)
+        .select("h")
+    )
+    fpk = fp.join(keep, "h")
+    a = fpk.select("h", F.col("id").alias("doc_a"))
+    b = fpk.select("h", F.col("id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

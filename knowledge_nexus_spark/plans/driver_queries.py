@@ -2859,6 +2859,129 @@ def sql_docs_packing():
     """
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact substring-window dedup (shared 8-token run ⇒ pair), the
+    ExactSubstr training-data cleaner re-shaped for a shuffle engine:
+    windows are generated natively in one projection and reduced to md5
+    fingerprints before the only wide exchange; boilerplate windows
+    (>64 docs) are dropped before pairing — the cap is contractual and
+    mirrored in the oracle, not a silent truncation."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.substring_window_pairs(
+        docs, "doc_id", "text", window=8, max_docs_per_window=64
+    ).orderBy("doc_a", "doc_b")
+
+
+def sql_dedup_substring():
+    return """
+    WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+    w AS (SELECT DISTINCT doc_id, h FROM (
+            SELECT doc_id, unnest(list_transform(range(0, len(t) - 7),
+                     j -> md5(array_to_string(t[j + 1 : j + 8], ' ')))) AS h
+            FROM tk WHERE len(t) >= 8)),
+    keep AS (SELECT h FROM w GROUP BY h HAVING count(*) <= 64)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM w a JOIN keep USING (h) JOIN w b USING (h)
+    WHERE a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+def q_events_skew_join(spark, sf_dir):
+    """Hot-key split join under the value gate: the 5 heaviest users
+    (bounded list, deterministic order — count desc, user_id) route
+    through a broadcast branch, the cold tail shuffle-joins, and the
+    union is provably the plain inner join because {hot, cold}
+    partitions the key space. This is the static form of the skew-join
+    defence — pinned plan shape instead of hoping AQE's runtime stats
+    catch the hub. Result re-aggregates per event_type so the gate
+    hashes a small stable table (integer age seconds — no float sums)."""
+    from knowledge_nexus_spark.operators.skewjoin import skew_split_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    top = [
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), "user_id")
+        .limit(5)
+        .collect()
+    ]
+    joined = skew_split_join(ev, dim, "user_id", top)
+    # ts is TIMESTAMP_NTZ: hop through TIMESTAMP for unix_micros; the
+    # delta is timezone-invariant.
+    age_s = F.expr(
+        "(unix_micros(cast(ts as timestamp))"
+        " - unix_micros(cast(first_ts as timestamp))) div 1000000"
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(age_s).alias("age_s"))
+        .orderBy("event_type")
+    )
+
+
+def sql_events_skew_join():
+    return """
+    WITH dim AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum((epoch_us(e.ts) - epoch_us(d.first_ts)) // 1000000) AS BIGINT) AS age_s
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrubbing as a pure native projection: each doc is first
+    augmented with a deterministic synthetic email + phone (the corpus
+    contains none — both engines build the identical string, documented
+    fixture augmentation), then redacted with engine-portable regexes
+    (character classes + \\b only: same semantics in Java regex and
+    RE2). The gate hashes match counts plus the md5 of the redacted
+    text, so the regex ENGINES are what's being value-verified. At
+    100 TB this fuses into the scan: no shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".net or call 555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    return (
+        docs.select("doc_id", full.alias("doc_full"))
+        .select(
+            "doc_id",
+            ts.pii_email_count(F.col("doc_full")).alias("n_email"),
+            ts.pii_phone_count(F.col("doc_full")).alias("n_phone"),
+            F.md5(ts.redact_pii(F.col("doc_full"))).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_text_pii_redact():
+    return r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+                  || '.net or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS doc_full
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(doc_full, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(doc_full, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(doc_full,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -2940,6 +3063,9 @@ QUERIES = {
     "docs_mix_weights": q_docs_mix_weights,
     "events_argmax": q_events_argmax,
     "docs_packing": q_docs_packing,
+    "dedup_substring": q_dedup_substring,
+    "events_skew_join": q_events_skew_join,
+    "text_pii_redact": q_text_pii_redact,
 }
 
 ORACLE_SQL = {
@@ -3023,4 +3149,7 @@ ORACLE_SQL = {
     "docs_mix_weights": sql_docs_mix_weights(),
     "events_argmax": sql_events_argmax(),
     "docs_packing": sql_docs_packing(),
+    "dedup_substring": sql_dedup_substring(),
+    "events_skew_join": sql_events_skew_join(),
+    "text_pii_redact": sql_text_pii_redact(),
 }
