@@ -339,3 +339,49 @@ def test_snapshot_diff_never_shuffles_text(spark):
     assert "FullOuter" in plan
     read = plan.split("ReadSchema")[1][:300]
     assert "text" not in read and "doc_id" in read
+
+
+def test_substring_pairs_shuffle_carries_fingerprints_only(spark):
+    """The substring-window self-join must exchange (fingerprint, id)
+    rows — the token array or text below the wide Exchange would make
+    substring dedup a payload-shuffle problem at 100 TB. Window
+    generation is one native projection: no Python stage anywhere."""
+    from knowledge_nexus_spark.plans.driver_queries import q_dedup_substring
+
+    plan = _plan(q_dedup_substring(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # every Exchange's output schema is fingerprint/id-only
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1) and "tk" not in m.group(1)
+    # the scan prunes to (doc_id, text)
+    read = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in read and "lang" not in read
+
+
+def test_skew_split_join_hot_branch_is_broadcast(spark):
+    """The hot branch must carry the broadcast hint (pinned plan shape —
+    not left to AQE stats), and the union must contain exactly the two
+    inner-join branches."""
+    from knowledge_nexus_spark.plans.driver_queries import q_events_skew_join
+
+    df = q_events_skew_join(spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 1
+    assert "Union" in logical
+    assert _plan(df).count("BroadcastHashJoin") >= 1
+
+
+def test_pii_redaction_is_pure_codegen_projection(spark):
+    """Redaction fuses into the scan: one WholeStageCodegen span, no
+    exchange before the (ordering) sink, no Python."""
+    from knowledge_nexus_spark.plans.driver_queries import q_text_pii_redact
+
+    plan = _plan(q_text_pii_redact(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the only exchange is the final global-order rangepartitioning
+    import re
+
+    hashex = re.findall(r"Exchange hashpartitioning", plan)
+    assert not hashex
