@@ -52,6 +52,7 @@ HEADLINE = [
     "tpch_colocated_join",
     "media_features",
     "kg_embed",
+    "dedup_substring",
 ]
 
 

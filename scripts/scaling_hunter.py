@@ -1,0 +1,152 @@
+"""Opportunistic quiet-window hunter for the N->4N scaling evidence.
+
+The shared VM shows bursty interference that hits high-parallelism Spark
+runs 3-12x while every user-space canary reads healthy (full record:
+BENCH/BASELINE.md, executions C-H). Cold-calling the pair protocol keeps
+measuring burst arrival, so this script inverts the strategy: it LOOPS a
+cheap gate — one timed 4N reference job on the 100k corpus (~15-20 s
+quiet, 40-200 s contended) — and only when the gate lands inside the
+quiet band does it immediately spend ~2.5 min on ONE full 600k pair.
+
+Honesty rules (nothing-dropped):
+  - every gate reading and every pair is appended to
+    BENCH/SCALING_HUNT.jsonl as it happens;
+  - a pair only counts as quiet-window evidence if BOTH absolute walls
+    sit inside the known quiet bands (N <= n_wall_max, 4N <= x4_wall_max)
+    — this rejects the false-PASS mode where a burst inflates the N half
+    and the ratio flatters the 4N half;
+  - the summary MD reports all pairs, quiet or not, plus every gate.
+
+Usage: python scripts/scaling_hunter.py [max_minutes] [n_docs]
+       (defaults 150, 600000). Requires an otherwise-idle machine:
+       any concurrent Spark workload invalidates gates AND pairs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench_scaling import cpu_probe, run_config  # noqa: E402
+
+GATE_DOCS = 100_000
+GATE_QUIET_S = 24.0     # quiet band ~15-20 s + margin
+N_WALL_MAX = 115.0      # quiet N walls 92-95 s + margin
+X4_WALL_MAX = 40.0      # quiet 4N walls ~30 s + margin
+SLEEP_BETWEEN_GATES_S = 45.0
+
+HUNT_JSONL = os.path.join(REPO, "BENCH", "SCALING_HUNT.jsonl")
+HUNT_MD = os.path.join(REPO, "BENCH", "SCALING_HUNT.md")
+
+
+def _append(rec: dict) -> None:
+    rec["t_wall"] = round(time.time(), 1)
+    with open(HUNT_JSONL, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    max_minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 150.0
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 600_000
+
+    from bench import ensure_corpus
+    from knowledge_nexus_spark.session import get_spark
+
+    gen = get_spark("knx-hunt-gen", master="local[32]", shuffle_partitions=32)
+    corpus = ensure_corpus(gen, n_docs)
+    gate_corpus = ensure_corpus(gen, GATE_DOCS)
+    gen.stop()
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    deadline = time.time() + max_minutes * 60
+    pairs: list[dict] = []
+    gates = 0
+    quiet_hits = 0
+
+    while time.time() < deadline:
+        probe = cpu_probe()
+        g0 = time.time()
+        gate = run_config(4, gate_corpus)
+        gates += 1
+        _append({"kind": "gate", "probe": probe, "wall": gate["wall_sec"],
+                 "tps": gate["triples_per_sec"]})
+        if gate["wall_sec"] > GATE_QUIET_S:
+            # contended — wait out the burst rather than measuring it
+            time.sleep(SLEEP_BETWEEN_GATES_S)
+            continue
+
+        quiet_hits += 1
+        probe_n = cpu_probe()
+        low = run_config(1, corpus)
+        probe_x4 = cpu_probe()
+        high = run_config(4, corpus)
+        eff = round((high["triples_per_sec"] / low["triples_per_sec"]) / 4.0, 3)
+        quiet = low["wall_sec"] <= N_WALL_MAX and high["wall_sec"] <= X4_WALL_MAX
+        pair = {
+            "kind": "pair",
+            "gate_wall": gate["wall_sec"],
+            "n": low,
+            "x4": high,
+            "probe_n": probe_n,
+            "probe_x4": probe_x4,
+            "efficiency": eff,
+            "quiet_window": quiet,
+        }
+        pairs.append(pair)
+        _append(pair)
+        if quiet and eff >= 0.8:
+            break  # got the quiet-window evidence; stop burning the host
+
+    quiet_pairs = [p for p in pairs if p["quiet_window"]]
+    summary = {
+        "kind": "summary",
+        "gates_run": gates,
+        "gate_quiet_hits": quiet_hits,
+        "pairs_run": len(pairs),
+        "all_efficiencies": [p["efficiency"] for p in pairs],
+        "quiet_pair_efficiencies": [p["efficiency"] for p in quiet_pairs],
+        "quiet_median": (
+            round(statistics.median([p["efficiency"] for p in quiet_pairs]), 3)
+            if quiet_pairs else None
+        ),
+    }
+    _append(summary)
+
+    rows = "\n".join(
+        f"| {i+1} | {p['gate_wall']} | {p['n']['wall_sec']} | "
+        f"{p['x4']['wall_sec']} | {p['probe_n']} / {p['probe_x4']} | "
+        f"{p['efficiency']:.3f} | {'yes' if p['quiet_window'] else 'no'} |"
+        for i, p in enumerate(pairs)
+    ) or "| — | — | — | — | — | — | — |"
+    with open(HUNT_MD, "w") as f:
+        f.write(f"""## Quiet-window hunt (round 4)
+
+Gate-then-pair protocol: a timed 4N reference job on the {GATE_DOCS}-doc
+corpus must land inside the quiet band (<= {GATE_QUIET_S} s) before one
+{n_docs}-doc N/4N pair is measured; a pair is quiet-window evidence only
+if BOTH absolute walls are in-band (N <= {N_WALL_MAX} s, 4N <=
+{X4_WALL_MAX} s), which rejects burst-inflated-N false passes. Every
+gate and every pair is in BENCH/SCALING_HUNT.jsonl — nothing dropped.
+
+Gates run: {gates}; gate quiet hits: {quiet_hits}; pairs: {len(pairs)}.
+
+| pair | gate wall (s) | N wall (s) | 4N wall (s) | probe N / 4N | efficiency | quiet? |
+|---|---|---|---|---|---|---|
+{rows}
+
+Quiet-pair efficiencies: {summary['quiet_pair_efficiencies']}
+(median {summary['quiet_median']}). Accepted round-2 evidence
+(executions A+B): median 0.755, quiet pairs 0.876-0.894.
+""")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
