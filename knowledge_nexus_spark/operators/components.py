@@ -134,3 +134,52 @@ def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
             F.col("context"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 4, iterations: int = 3, checkpoint: bool = True
+) -> DataFrame:
+    """Bounded k-core peeling over an undirected edge list: each round
+    drops nodes whose CURRENT induced degree is < ``k``, then edges with
+    a dropped endpoint. Returns the surviving (node, deg) after
+    ``iterations`` synchronous rounds — the standard graph-cleaning
+    primitive (spam/leaf pruning before community detection or
+    embedding training).
+
+    Scale shape: each round is one narrow (node) count-shuffle plus two
+    left-semi joins on the endpoint keys — no payload wider than
+    (src, dst) ever moves, and the semi-join build side (the surviving
+    node set) shrinks monotonically. Bounded rounds keep the unrolled
+    plan compact and make the operator exactly SQL-oracle-able (the
+    fixpoint variant is the same loop run to no-change; on power-law
+    graphs ≥95% of peeling happens in the first 3 rounds).
+
+    ``edges`` may be directed with self-loops; it is symmetrized and
+    self-loop-filtered here so degree means undirected neighbor count.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # each round consumes `cur` twice (degree count + semi-join left);
+    # localCheckpoint materializes it once per round and cuts lineage,
+    # otherwise the unrolled plan re-evaluates the subtree 2^rounds
+    # times. checkpoint=False keeps the full logical plan (plan-shape
+    # tests; engines that prefer CTE materialization).
+    cut = (lambda df: df.localCheckpoint(eager=False)) if checkpoint else (lambda df: df)
+    cur = cut(und)
+    for _ in range(iterations):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # keep feeds both semi-joins — materialize the (small) node set
+        # once rather than re-running the degree agg per join
+        keep = cut(deg.where(F.col("deg") >= k).select("src"))
+        cur = cut(
+            cur.join(keep, "src", "left_semi").join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+        )
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )

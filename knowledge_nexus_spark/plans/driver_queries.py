@@ -2982,6 +2982,110 @@ def sql_text_pii_redact():
     """
 
 
+KCORE_K = 4
+KCORE_ITERS = 3
+
+
+def q_kg_kcore(spark, sf_dir):
+    """Bounded k-core peeling (3 rounds, k=4) over the deterministic
+    document link graph — the graph-cleaning primitive that strips
+    low-degree fringe before community detection or embedding training.
+    Each round = one narrow degree count + two shrinking left-semi
+    joins; exactly SQL-oracle-able because the rounds are unrolled."""
+    from knowledge_nexus_spark.operators.components import kcore_peel
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    n = docs.count()
+    e1 = docs.select(
+        F.col("id").alias("src"), ((F.col("id") * 31 + 7) % n).alias("dst")
+    )
+    e2 = docs.select(
+        F.col("id").alias("src"), ((F.col("id") * 17 + 3) % n).alias("dst")
+    )
+    return kcore_peel(
+        e1.unionByName(e2), k=KCORE_K, iterations=KCORE_ITERS
+    ).orderBy("node")
+
+
+def sql_kg_kcore():
+    steps = []
+    prev = "u0"
+    for i in range(1, KCORE_ITERS + 1):
+        steps.append(
+            f"""
+    d{i} AS (SELECT src, count(*) AS deg FROM {prev} GROUP BY src),
+    k{i} AS (SELECT src FROM d{i} WHERE deg >= {KCORE_K}),
+    u{i} AS (SELECT u.src, u.dst FROM {prev} u
+             JOIN k{i} a ON u.src = a.src JOIN k{i} b ON u.dst = b.src)"""
+        )
+        prev = f"u{i}"
+    return f"""
+    WITH nn AS (SELECT count(*) AS c FROM documents),
+    e0 AS (
+      SELECT src, dst FROM (
+        SELECT doc_id AS src, (doc_id*31+7) % (SELECT c FROM nn) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id*17+3) % (SELECT c FROM nn) FROM documents) t
+      WHERE src <> dst),
+    u0 AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) t),{",".join(steps)}
+    SELECT src AS node, count(*) AS deg FROM {prev} GROUP BY src ORDER BY node
+    """
+
+
+def q_events_ewma(spark, sf_dir):
+    """Per-user EWMA (alpha = 1/2) as an ORDERED integer fold: events
+    sort by (ts, event_id) inside one collect per user, then a native
+    aggregate() fold halves-and-adds in micro-units — pure integers, so
+    the fold is bit-identical cross-engine (float EWMA would diverge by
+    summation error). The state is one list per user (the same
+    per-key-sequential bound as sessionization); the shuffle carries
+    (user_id, ts, event_id, v_micros) only. floor(value*1e6) is an
+    exact IEEE double op in both engines; (acc+v)/2 stays under 2^53 so
+    the truncating cast is exact."""
+    ev = _t(spark, sf_dir, "events")
+    v_u = F.floor(F.col("value") * 1000000).cast("long")
+    s = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("t"),
+                    F.col("event_id").alias("e"),
+                    v_u.alias("v"),
+                )
+            )
+        ).alias("lst")
+    )
+    return s.select(
+        "user_id",
+        F.aggregate(
+            "lst",
+            F.lit(0).cast("long"),
+            lambda acc, x: ((acc + x["v"]) / 2).cast("long"),
+        ).alias("ewma_micros"),
+        F.size("lst").cast("long").alias("n"),
+    ).orderBy("user_id")
+
+
+def sql_events_ewma():
+    return """
+    WITH s AS (
+      SELECT user_id,
+             list_sort(list(struct_pack(t := ts, e := event_id,
+                        v := CAST(floor(value * 1000000) AS BIGINT)))) AS lst
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(lst, x -> x.v)),
+                       (a, b) -> (a + b) // 2) AS ewma_micros,
+           CAST(len(lst) AS BIGINT) AS n
+    FROM s ORDER BY user_id
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -3066,6 +3170,8 @@ QUERIES = {
     "dedup_substring": q_dedup_substring,
     "events_skew_join": q_events_skew_join,
     "text_pii_redact": q_text_pii_redact,
+    "kg_kcore": q_kg_kcore,
+    "events_ewma": q_events_ewma,
 }
 
 ORACLE_SQL = {
@@ -3152,4 +3258,6 @@ ORACLE_SQL = {
     "dedup_substring": sql_dedup_substring(),
     "events_skew_join": sql_events_skew_join(),
     "text_pii_redact": sql_text_pii_redact(),
+    "kg_kcore": sql_kg_kcore(),
+    "events_ewma": sql_events_ewma(),
 }

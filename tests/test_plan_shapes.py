@@ -385,3 +385,26 @@ def test_pii_redaction_is_pure_codegen_projection(spark):
 
     hashex = re.findall(r"Exchange hashpartitioning", plan)
     assert not hashex
+
+
+def test_kcore_rounds_are_semi_joins_no_python(spark):
+    """Each peel round must appear as left-semi joins over narrow
+    (src, dst) rows — no Python stage, no payload columns — and the
+    lineage-cut checkpoints keep the unrolled plan from re-evaluating
+    the subtree 2^rounds times (bounded plan: at most one scan of the
+    checkpointed edge set per consumer)."""
+    from knowledge_nexus_spark.operators.components import kcore_peel
+    from knowledge_nexus_spark.plans.driver_queries import q_kg_kcore
+
+    edges = spark.range(20).selectExpr("id AS src", "(id * 7 + 1) % 20 AS dst")
+    full = _plan(kcore_peel(edges, k=2, iterations=2, checkpoint=False))
+    assert "ArrowEvalPython" not in full and "BatchEvalPython" not in full
+    # two semi-joins per round; without lineage cuts the shared
+    # subtrees are DUPLICATED in the plan (the 2^rounds blowup made
+    # visible — ~400 nodes for 2 rounds), hence >= not ==
+    assert full.count("LeftSemi") >= 4
+    # the gate query runs the checkpointed form: the final plan must be
+    # BOUNDED — one scan of the last checkpoint, not 2^rounds subtrees
+    cut = _plan(q_kg_kcore(spark, SF))
+    assert "ArrowEvalPython" not in cut and "BatchEvalPython" not in cut
+    assert "Scan ExistingRDD" in cut and cut.count("LeftSemi") == 0
