@@ -1257,6 +1257,81 @@ def sql_events_median():
     """
 
 
+def q_tpch_q21_adapted(spark, sf_dir):
+    """TPC-H Q21-style double-correlated EXISTS / NOT EXISTS: suppliers
+    who were the SOLE late shipper in a finished multi-supplier order
+    ("late" adapted to l_shipdate > o_orderdate + 60 days — the corpus
+    carries no receipt/commit dates). The classic correlated pair
+    decorrelates into ONE per-(order, supplier) aggregate reused by both
+    predicates: per_os = max(late) per pair, per_o = (#suppliers,
+    #late-suppliers) per order, then `has_late AND n_supp > 1 AND
+    n_late_supp = 1` replaces both subqueries — two shuffles total
+    (orderkey, then suppkey) instead of two self-joins of the fact
+    table. numwait counts DISTINCT orders (per_os granularity), so both
+    engines agree regardless of per-order line multiplicity. All
+    comparisons are integer-µs timestamps — no float boundaries. The
+    oracle deliberately keeps the textbook correlated EXISTS / NOT
+    EXISTS form so the two derivations share nothing."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li_f = li.join(ords, li["l_orderkey"] == ords["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+         ).alias("late"),
+    )
+    per_os = li_f.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("has_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("has_late").cast("long")).alias("n_late_supp"),
+    )
+    sole = (
+        per_os.filter(F.col("has_late"))
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(sup), sole["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def sql_tpch_q21_adapted():
+    return """
+    SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """
+
+
 def q_tpch_q20_adapted(spark, sf_dir):
     """TPC-H Q20-style nested left-semi: suppliers who shipped a 'red'
     part during 1996 with per-(supplier, part) quantity exceeding 20% of
@@ -2024,6 +2099,95 @@ def sql_docs_topk_per_lang():
                                 ORDER BY n_chars DESC, doc_id) AS rk
       FROM documents)
     WHERE rk <= 3 ORDER BY lang, rk
+    """
+
+
+def q_docs_curation(spark, sf_dir):
+    """Composed end-to-end curation pass (the training-data pipeline in
+    one plan): exact dedup (md5 fingerprint, keep min doc_id) → quality
+    gate (Gopher-style score >= 0.9, functions/textstats, pure codegen)
+    → per-language top-20 by (quality desc, doc_id). The top-k is the
+    salted TWO-PHASE form: languages are few (heavy groups at 100 TB),
+    so a single `Window.partitionBy(lang)` would sort whole languages on
+    single tasks; instead phase 1 ranks inside (lang, salt=hash(doc_id)%8)
+    partitions and keeps k per salt — provably a superset of the true
+    top-k — and phase 2 ranks the <= 8k survivors per language. The
+    dedup shuffle carries (fingerprint, doc_id) only, never text. Oracle
+    derives the same rows with GROUP BY text (no md5) and one plain
+    window — independent constructions, identical output."""
+    docs = _t(spark, sf_dir, "documents")
+    k, salts = 20, 8
+    keep = (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    gated = (
+        docs.join(keep, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(ts.quality_score(F.col("text")), 6).alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.9)
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    partial = (
+        gated.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(salts)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+    )
+    return (
+        partial.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("lang", "doc_id", "quality", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+def sql_docs_curation():
+    quoted = ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS)
+    return f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    base AS (
+      SELECT d.doc_id, d.lang, d.text,
+             regexp_split_to_array(lower(trim(d.text)), '\\s+') AS toks,
+             CASE WHEN length(trim(d.text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) END AS n,
+             length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS n_punct
+      FROM documents d JOIN keep USING (doc_id)),
+    feat AS (
+      SELECT doc_id, lang, n,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS tok_len,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> list_contains([{quoted}], t))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN length(text) > 0
+                  THEN CAST(n_punct AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS punct_ratio
+      FROM base),
+    scored AS (
+      SELECT doc_id, lang,
+             round(
+               (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0
+                     ELSE least(CAST(n AS DOUBLE) / 10.0, 1.0) END) * 0.4
+               + (CASE WHEN tok_len >= 2.0 AND tok_len <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+               + least(stop_ratio / 0.05, 1.0) * 0.2
+               + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      FROM feat)
+    SELECT lang, doc_id, quality, rk FROM (
+      SELECT lang, doc_id, quality,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS rk
+      FROM scored WHERE quality >= 0.9)
+    WHERE rk <= 20 ORDER BY lang, rk
     """
 
 
@@ -3138,6 +3302,7 @@ QUERIES = {
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "events_quantile_sample": q_events_quantile_sample,
     "tpch_q20_adapted": q_tpch_q20_adapted,
+    "tpch_q21_adapted": q_tpch_q21_adapted,
     "tpch_colocated_join": q_tpch_colocated_join,
     "media_features": q_media_features,
     "kg_embed": q_kg_embed,
@@ -3146,6 +3311,7 @@ QUERIES = {
     "tpch_q15_adapted": q_tpch_q15_adapted,
     "tpch_q16_adapted": q_tpch_q16_adapted,
     "docs_topk_per_lang": q_docs_topk_per_lang,
+    "docs_curation": q_docs_curation,
     "docs_tfidf": q_docs_tfidf,
     "events_json": q_events_json,
     "events_gaps": q_events_gaps,
@@ -3227,6 +3393,7 @@ ORACLE_SQL = {
     "kg_linking": sql_kg_linking(),
     "events_quantile_sample": sql_events_quantile_sample(),
     "tpch_q20_adapted": sql_tpch_q20_adapted(),
+    "tpch_q21_adapted": sql_tpch_q21_adapted(),
     "tpch_colocated_join": sql_tpch_colocated_join(),
     "media_features": sql_media_features(),
     "kg_embed": sql_kg_embed(),
@@ -3235,6 +3402,7 @@ ORACLE_SQL = {
     "tpch_q15_adapted": sql_tpch_q15_adapted(),
     "tpch_q16_adapted": sql_tpch_q16_adapted(),
     "docs_topk_per_lang": sql_docs_topk_per_lang(),
+    "docs_curation": sql_docs_curation(),
     "docs_tfidf": sql_docs_tfidf(),
     "events_json": sql_events_json(),
     "events_gaps": sql_events_gaps(),
