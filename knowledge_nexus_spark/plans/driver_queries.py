@@ -1262,12 +1262,13 @@ def q_tpch_q21_adapted(spark, sf_dir):
     who were the SOLE late shipper in a finished multi-supplier order
     ("late" adapted to l_shipdate > o_orderdate + 60 days — the corpus
     carries no receipt/commit dates). The classic correlated pair
-    decorrelates into ONE per-(order, supplier) aggregate reused by both
-    predicates: per_os = max(late) per pair, per_o = (#suppliers,
-    #late-suppliers) per order, then `has_late AND n_supp > 1 AND
-    n_late_supp = 1` replaces both subqueries — two shuffles total
-    (orderkey, then suppkey) instead of two self-joins of the fact
-    table. numwait counts DISTINCT orders (per_os granularity), so both
+    decorrelates into ONE per-(order, supplier) aggregate feeding both
+    predicates: per_os = max(late) per pair, then a per-order window
+    counts (#suppliers, #late-suppliers) so `has_late AND n_supp > 1 AND
+    n_late_supp = 1` replaces both subqueries — ONE fact scan and no
+    fact self-join (the agg+join-back form would physically scan
+    lineitem twice; pinned in test_plan_shapes). numwait counts
+    DISTINCT orders (per_os granularity), so both
     engines agree regardless of per-order line multiplicity. All
     comparisons are integer-µs timestamps — no float boundaries. The
     oracle deliberately keeps the textbook correlated EXISTS / NOT
@@ -1289,14 +1290,17 @@ def q_tpch_q21_adapted(spark, sf_dir):
     per_os = li_f.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("has_late")
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.col("has_late").cast("long")).alias("n_late_supp"),
-    )
+    # per-order supplier / late-supplier counts as a WINDOW over per_os
+    # rather than an agg + join-back: the agg+join form consumes the
+    # per_os subtree twice, which physically re-scans the lineitem fact
+    # (verified in test_plan_shapes) — the window keeps it to ONE scan.
+    wo = Window.partitionBy("l_orderkey")
     sole = (
-        per_os.filter(F.col("has_late"))
-        .join(per_o, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn("n_late_supp", F.sum(F.col("has_late").cast("long")).over(wo))
+        .filter(
+            F.col("has_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .select("l_orderkey", "l_suppkey")
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

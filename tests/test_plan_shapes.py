@@ -408,3 +408,53 @@ def test_kcore_rounds_are_semi_joins_no_python(spark):
     cut = _plan(q_kg_kcore(spark, SF))
     assert "ArrowEvalPython" not in cut and "BatchEvalPython" not in cut
     assert "Scan ExistingRDD" in cut and cut.count("LeftSemi") == 0
+
+
+def test_q21_decorrelated_no_fact_self_join(spark):
+    """Q21-adapted must run the decorrelated form: the lineitem fact is
+    scanned ONCE (the EXISTS / NOT EXISTS pair collapses into one
+    per-(order, supplier) aggregate), the supplier dim is the only
+    broadcast hint, and no Python stage appears."""
+    import re
+
+    from knowledge_nexus_spark.plans.driver_queries import q_tpch_q21_adapted
+
+    df = q_tpch_q21_adapted(spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # one lineitem scan: a correlated-EXISTS translation would scan it 3x
+    assert plan.count("lineitem.parquet") == 1, (
+        f"lineitem scanned {plan.count('lineitem.parquet')}x — "
+        "the correlated subqueries did not decorrelate"
+    )
+    logical = df._jdf.queryExecution().analyzed().toString()
+    for block in logical.split("ResolvedHint")[1:]:
+        rel = re.search(r"Relation \[([a-z])_", block)
+        assert rel is not None and rel.group(1) == "s", (
+            "broadcast hint must pin only the supplier dim"
+        )
+
+
+def test_docs_curation_dedup_shuffle_is_narrow(spark):
+    """The curation pass's dedup Exchange must carry (fingerprint,
+    doc_id) only — shuffling document text moves the whole corpus; and
+    the per-language rank must be the salted two-phase form (two window
+    sorts: (lang, salt) then (lang))."""
+    import re
+
+    from knowledge_nexus_spark.plans.driver_queries import q_docs_curation
+
+    plan = _plan(q_docs_curation(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    blocks = re.findall(
+        r"Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning\(fp",
+        plan,
+    )
+    assert blocks, "no fingerprint Exchange found in the dedup stage"
+    assert all("text" not in b for b in blocks), (
+        "dedup Exchange carries the text column"
+    )
+    # salted two-phase top-k: both window partitionings present
+    assert re.search(r"hashpartitioning\(lang[^)]*salt", plan), (
+        "phase-1 (lang, salt) window partitioning missing"
+    )
