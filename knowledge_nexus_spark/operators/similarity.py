@@ -148,13 +148,12 @@ def lsh_topk_indexed(
 
 def _dot_lit(vec_col, centroid: list[float]):
     """JVM-side dot product of an array column with a literal vector —
-    zip_with + sequential aggregate fold, per-row deterministic."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, lit, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    delegates to functions.embed.dot_col (one dot-product definition in
+    the repo; dot_col casts operands to double, so float32 embedding
+    columns hit the same precision path as everywhere else)."""
+    from knowledge_nexus_spark.functions.embed import dot_col
+
+    return dot_col(vec_col, F.array(*[F.lit(float(x)) for x in centroid]))
 
 
 def _normalize(c: list[float]) -> list[float]:
@@ -195,6 +194,12 @@ def ivf_build(
         .collect()
     )
     centroids = [list(map(float, r["vec"])) for r in seeds]
+    # fewer rows than requested clusters: clamp K to the rows actually
+    # seeded — range(n_clusters) below would otherwise index past the
+    # centroid list (code-review finding, round 4)
+    n_clusters = len(centroids)
+    if n_clusters == 0:
+        raise ValueError("ivf_build: input frame has no rows")
 
     for _ in range(iters):
         assign = ivf_assign(keyed, "id", "vec", centroids)

@@ -85,6 +85,25 @@ CMS_DEPTH = 4  # hash rows
 CMS_WIDTH = 256  # buckets per row
 
 
+def _seed_explode(n: int, alias: str):
+    """Explode a row into ``n`` seeded copies (the hash-row fan-out both
+    sketch families share)."""
+    return F.explode(F.array(*[F.lit(i) for i in range(n)])).alias(alias)
+
+
+def _probe_pos(seed_col, val_col, modulus: int):
+    """THE probe-hash recipe: md5_hash64(seed || ':' || value) mod m.
+
+    Single definition shared by cms_build / cms_estimate / bloom_build /
+    bloom_might_contain so build and probe sides can never drift apart
+    (the SQL oracles duplicate it deliberately — they must stay an
+    independent derivation)."""
+    return F.pmod(
+        md5_hash64(F.concat(seed_col.cast("string"), F.lit(":"), val_col)),
+        F.lit(modulus),
+    )
+
+
 def cms_build(df: DataFrame, value_col: str) -> DataFrame:
     """Count-min sketch of value_col frequencies: (r, b, cnt) cells.
 
@@ -96,14 +115,10 @@ def cms_build(df: DataFrame, value_col: str) -> DataFrame:
     only way to get per-key frequency estimates without shuffling keys.
     Deterministic: md5 hash, integer counters — any SQL engine agrees.
     """
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r")
     cells = df.select(F.col(value_col).cast("string").alias("v")).select(
-        seeds, F.col("v")
+        _seed_explode(CMS_DEPTH, "r"), F.col("v")
     )
-    bucket = F.pmod(
-        md5_hash64(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("v"))),
-        F.lit(CMS_WIDTH),
-    )
+    bucket = _probe_pos(F.col("r"), F.col("v"), CMS_WIDTH)
     return (
         cells.select("r", bucket.alias("b"))
         .groupBy("r", "b")
@@ -122,16 +137,10 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     probes = keys.select(F.col(key_col)).distinct().select(
         F.col(key_col),
         F.col(key_col).cast("string").alias("__cms_v"),
-        F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r"),
+        _seed_explode(CMS_DEPTH, "r"),
     )
     probes = probes.withColumn(
-        "b",
-        F.pmod(
-            md5_hash64(
-                F.concat(F.col("r").cast("string"), F.lit(":"), F.col("__cms_v"))
-            ),
-            F.lit(CMS_WIDTH),
-        ),
+        "b", _probe_pos(F.col("r"), F.col("__cms_v"), CMS_WIDTH)
     ).drop("__cms_v")
     return (
         probes.join(F.broadcast(sketch), ["r", "b"], "left")
@@ -179,12 +188,9 @@ def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
     pruning automatically but with an engine-private hash; this explicit
     variant exists so an external oracle can reproduce membership.)"""
     probes = df.select(F.col(value_col).cast("string").alias("v")).select(
-        "v", F.explode(F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])).alias("i")
+        "v", _seed_explode(BLOOM_HASHES, "i")
     )
-    pos = F.pmod(
-        md5_hash64(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("v"))),
-        F.lit(BLOOM_BITS),
-    )
+    pos = _probe_pos(F.col("i"), F.col("v"), BLOOM_BITS)
     return probes.select("i", pos.alias("pos")).distinct()
 
 
@@ -199,16 +205,10 @@ def bloom_might_contain(
     probes = keys.select(F.col(key_col)).distinct().select(
         F.col(key_col),
         F.col(key_col).cast("string").alias("__bloom_v"),
-        F.explode(F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])).alias("i"),
+        _seed_explode(BLOOM_HASHES, "i"),
     )
     probes = probes.withColumn(
-        "pos",
-        F.pmod(
-            md5_hash64(
-                F.concat(F.col("i").cast("string"), F.lit(":"), F.col("__bloom_v"))
-            ),
-            F.lit(BLOOM_BITS),
-        ),
+        "pos", _probe_pos(F.col("i"), F.col("__bloom_v"), BLOOM_BITS)
     ).drop("__bloom_v")
     hit = F.broadcast(bloom.withColumn("hit", F.lit(1)))
     return (

@@ -454,7 +454,11 @@ def q_ann_lsh_indexed(spark, sf_dir):
     for the exact re-rank (rows-only for the same reason as ann_lsh;
     the partition-pruned scan shape is pinned in test_plan_shapes /
     test_dedup_similarity). The index write is part of the measured
-    operation — build + probe is what a serving refresh does."""
+    operation — build + probe is what a serving refresh does. The index
+    lands at a FIXED per-user temp path in overwrite mode: bench runs
+    this query repeats× and a fresh mkdtemp per invocation would leak a
+    full index copy each time (code-review finding, round 4)."""
+    import getpass
     import tempfile
 
     from knowledge_nexus_spark.operators.similarity import (
@@ -469,7 +473,10 @@ def q_ann_lsh_indexed(spark, sf_dir):
             "embedding"
         ]
     ]
-    path = tempfile.mkdtemp(prefix="knx_lsh_idx_") + "/index"
+    path = (
+        f"{tempfile.gettempdir()}/knx_lsh_idx_{getpass.getuser()}"
+        f"_{sf_dir.strip('/').replace('/', '_')}/index"
+    )
     write_lsh_index(
         emb, "vec_id", "embedding", path, dim=len(qv), bands=16, band_planes=6
     )
@@ -1536,22 +1543,31 @@ def q_tpch_colocated_join(spark, sf_dir):
     with NO Exchange on either side (pinned in test_plan_shapes) — the
     100 TB layout where the dominant join never reshuffles. The bucketed
     write is part of the measured operation, like ann_lsh_indexed's
-    index build. Result oracled as a plain join."""
+    index build. Result oracled as a plain join. Tables land at a FIXED
+    per-user, per-sf temp path + table name in overwrite mode — a fresh
+    mkdtemp per invocation would leak a full table copy on every bench
+    repeat (saveAsTable(overwrite) at a NEW external path drops the
+    catalog entry but not the old files), and the sf suffix keeps
+    concurrent gate runs at different SFs off each other's tables
+    (code-review finding, round 4)."""
+    import getpass
     import tempfile
 
     from knowledge_nexus_spark.storage.bucketed import bucketed_join, write_bucketed
 
-    base = tempfile.mkdtemp(prefix="knx_bucketed_")
+    tag = f"{getpass.getuser()}_{sf_dir.strip('/').replace('/', '_').replace('.', '_')}"
+    base = f"{tempfile.gettempdir()}/knx_bucketed_{tag}"
+    t_orders, t_li = f"knx_b_orders_{tag}", f"knx_b_lineitem_{tag}"
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
     )
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
     )
-    write_bucketed(orders, "knx_b_orders", "orderkey", path=f"{base}/orders")
-    write_bucketed(li, "knx_b_lineitem", "orderkey", path=f"{base}/lineitem")
+    write_bucketed(orders, t_orders, "orderkey", path=f"{base}/orders")
+    write_bucketed(li, t_li, "orderkey", path=f"{base}/lineitem")
 
-    joined = bucketed_join(spark, "knx_b_orders", "knx_b_lineitem", "orderkey")
+    joined = bucketed_join(spark, t_orders, t_li, "orderkey")
     return (
         joined.groupBy("o_orderpriority")
         .agg(
@@ -2924,9 +2940,14 @@ def q_docs_mix_weights(spark, sf_dir):
     — weight ∝ sqrt(count), the alpha=0.5 resampling temperature used to
     rebalance a training mix without flattening it. One grouped count;
     the normalizer is a window sum over the group-cardinality-sized
-    result, so nothing re-shuffles the corpus. IEEE sqrt is
-    correctly-rounded in both engines, so the weights agree exactly
-    before the 6dp round."""
+    result, so nothing re-shuffles the corpus. Numeric discipline: a
+    FLOAT sum of sqrt terms is accumulation-order-sensitive, so the
+    normalizer instead sums floor(sqrt(n)·10^9) as exact integers —
+    IEEE sqrt/multiply/floor are correctly-rounded identically in both
+    engines, and an integer sum is order-insensitive, so the weights are
+    bit-stable across engines, runs, and partitionings. (Integer-sum
+    headroom: 2^53 ulp-exactness of the double division holds up to
+    ~9·10^6 strata of 10^12 docs each — far past any real mix table.)"""
     docs = _t(spark, sf_dir, "documents")
     c = (
         docs.select("lang", F.expr("n_chars div 200").alias("len_bucket"))
@@ -2934,21 +2955,32 @@ def q_docs_mix_weights(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy()
-    return c.select(
-        "lang",
-        "len_bucket",
-        "n",
-        F.round(F.sqrt("n") / F.sum(F.sqrt("n")).over(w), 6).alias("weight"),
-    ).orderBy("lang", "len_bucket")
+    sq_int = F.floor(F.sqrt("n") * F.lit(1000000000.0)).cast("long")
+    return (
+        c.withColumn("sq", sq_int)
+        .select(
+            "lang",
+            "len_bucket",
+            "n",
+            F.round(
+                F.col("sq").cast("double") / F.sum("sq").over(w).cast("double"),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
 
 
 def sql_docs_mix_weights():
     return """
     WITH c AS (SELECT lang, n_chars // 200 AS len_bucket, count(*) AS n
-               FROM documents GROUP BY 1, 2)
+               FROM documents GROUP BY 1, 2),
+    s AS (SELECT lang, len_bucket, n,
+                 CAST(floor(sqrt(n) * 1000000000.0) AS BIGINT) AS sq
+          FROM c)
     SELECT lang, len_bucket, n,
-           round(sqrt(n) / sum(sqrt(n)) OVER (), 6) AS weight
-    FROM c ORDER BY lang, len_bucket
+           round(CAST(sq AS DOUBLE) / CAST(sum(sq) OVER () AS DOUBLE), 6) AS weight
+    FROM s ORDER BY lang, len_bucket
     """
 
 

@@ -52,6 +52,10 @@ def read_jsonl_docs(
     ``from_json`` in PERMISSIVE mode fills the corrupt field with the raw
     line on parse failure and leaves it null on success, which is how the
     split distinguishes malformed lines from legitimately-null fields.
+    Blank / whitespace-only / literal-``null`` lines are a third case:
+    ``from_json`` returns a NULL struct (no corrupt marker at all), so
+    the clean branch also requires the struct itself to be non-null —
+    otherwise such lines would pass as all-null document rows.
     """
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
@@ -64,10 +68,9 @@ def read_jsonl_docs(
         ).alias("j"),
         F.col("value"),
     )
-    clean = parsed.filter(F.col(f"j.{CORRUPT_COL}").isNull()).select(
+    ok = F.col("j").isNotNull() & F.col(f"j.{CORRUPT_COL}").isNull()
+    clean = parsed.filter(ok).select(
         *[F.col(f"j.{f.name}").alias(f.name) for f in schema.fields]
     )
-    quarantine = parsed.filter(F.col(f"j.{CORRUPT_COL}").isNotNull()).select(
-        F.col("value").alias("raw")
-    )
+    quarantine = parsed.filter(~ok).select(F.col("value").alias("raw"))
     return clean, quarantine

@@ -35,11 +35,15 @@ def stream_dedup(
     """First-wins dedup on ``key_cols`` with per-key state expiring one
     watermark interval after the key was last admitted.
 
-    Works identically on batch DataFrames (the watermark is a no-op and
-    ``dropDuplicatesWithinWatermark`` degrades to ``dropDuplicates``), so
-    one definition serves both paths and the batch oracle."""
+    On a batch DataFrame the same call site degrades to a plain
+    ``dropDuplicates`` (Spark REJECTS ``dropDuplicatesWithinWatermark``
+    on batch input — it is streaming-only; verified on PySpark 4.1.2).
+    Batch has no late data, so keep-one-per-key IS the within-watermark
+    semantic there, and one definition still serves both paths."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    if not df.isStreaming:
+        return df.dropDuplicates(list(key_cols))
     # Watermarks only accept TIMESTAMP; parquet sources often carry
     # TIMESTAMP_NTZ.
     d = df.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(

@@ -54,16 +54,23 @@ def main() -> int:
     spark = get_spark("knx-queries", master=args.master)
     summary = {}
     for name in args.queries:
+        # Execute the plan EXACTLY ONCE and serve show/count from the
+        # materialized result — chaining write + show + count on the
+        # lazy frame would recompute the full query up to three times
+        # and bill all of them to wall_sec (code-review finding, r4).
         t0 = time.perf_counter()
         df = QUERIES[name](spark, args.sf_dir)
         if args.out:
             df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+            df = spark.read.parquet(f"{args.out}/{name}")
+            rows = df.count()
+        else:
+            df = df.localCheckpoint(eager=True)
+            rows = df.count()
+        wall = round(time.perf_counter() - t0, 3)
         if args.show:
             df.show(args.show, truncate=40)
-        summary[name] = {
-            "rows": df.count(),
-            "wall_sec": round(time.perf_counter() - t0, 3),
-        }
+        summary[name] = {"rows": rows, "wall_sec": wall}
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -47,3 +47,30 @@ def test_compact_range_sort_enables_file_skipping(spark, tmp_path):
     got = df.count()
     want = ev.filter(F.col("user_id") == 3).count()
     assert got == want > 0
+
+
+def test_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """Crash-window recovery (code-review finding, round 4): a leftover
+    __compact_bak dir must never swallow live data. Case 1 — crash after
+    rename 1 (live dir missing, bak holds the data): the next call
+    restores and compacts. Case 2 — stale bak beside a live dir: it is
+    dropped, not nested into."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    before = {tuple(r) for r in ev.collect()}
+
+    # case 1: simulate crash between the two renames
+    path = str(tmp_path / "t1")
+    ev.repartition(5).write.parquet(path)
+    os.rename(path, path + "__compact_bak")
+    assert not os.path.exists(path)
+    compact_parquet(spark, path, target_mb=128)
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+    assert not os.path.exists(path + "__compact_bak")
+
+    # case 2: stale bak from an even earlier crash, live dir present
+    path2 = str(tmp_path / "t2")
+    ev.repartition(5).write.parquet(path2)
+    ev.limit(3).write.parquet(path2 + "__compact_bak")
+    compact_parquet(spark, path2, target_mb=128)
+    assert {tuple(r) for r in spark.read.parquet(path2).collect()} == before
+    assert not os.path.exists(path2 + "__compact_bak")

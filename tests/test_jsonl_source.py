@@ -34,6 +34,18 @@ def test_clean_and_quarantine_split(spark, tmp_path):
     assert raw == set(BAD)
 
 
+def test_blank_and_null_lines_are_quarantined(spark, tmp_path):
+    """from_json returns a NULL struct (no corrupt marker) for blank /
+    whitespace-only / literal-null lines; they must land in quarantine,
+    never as all-null clean rows (code-review finding, round 4)."""
+    path = _write(tmp_path, [GOOD[0], "", "   ", "null", GOOD[1]])
+    clean, quarantine = read_jsonl_docs(spark, path)
+    rows = {r.doc_id for r in clean.collect()}
+    assert rows == {0, 1}
+    assert clean.filter("doc_id IS NULL").count() == 0
+    assert quarantine.count() == 3
+
+
 def test_clean_schema_is_pruned(spark, tmp_path):
     path = _write(tmp_path, GOOD)
     clean, _ = read_jsonl_docs(spark, path)

@@ -95,3 +95,16 @@ def test_stream_dedup_plan_is_stateful_with_watermark(spark, tmp_path):
         for op in p.get("stateOperators", [])
     ]
     assert any("dedupeWithinWatermark" in n for n in op_names), op_names
+
+
+def test_stream_dedup_batch_fallback(spark):
+    """stream_dedup must also accept a BATCH frame (Spark rejects
+    dropDuplicatesWithinWatermark on batch input, so the call degrades
+    to dropDuplicates — code-review finding, round 4)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    tripled = ev.unionByName(ev).unionByName(ev)
+    got = stream_dedup(tripled, ["event_id"], watermark="1 hour")
+    assert not got.isStreaming
+    assert got.count() == ev.select("event_id").distinct().count()
