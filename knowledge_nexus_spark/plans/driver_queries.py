@@ -1264,6 +1264,56 @@ def sql_events_median():
     """
 
 
+def q_tpch_q18_adapted(spark, sf_dir):
+    """TPC-H Q18-style large-volume-customer query: orders whose total
+    lineitem quantity exceeds 250, joined back to orders + customer,
+    top-20 by order value. The load-bearing shape: AGGREGATE THE FACT
+    FIRST (one partial-agg shuffle of (orderkey, qty) pairs), apply the
+    HAVING threshold, and only join the tiny surviving set to orders —
+    never join-then-aggregate, which would shuffle the full fact join
+    output before the filter. customer is dim-broadcast; quantity sums
+    in DECIMAL so the >250 boundary cannot float-flip cross-engine;
+    TakeOrderedAndProject caps the sort at k=20."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sq"))
+        .filter(F.col("sq") > F.lit(250).cast("decimal(18,4)"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
+            F.round(F.col("sq").cast("double"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+def sql_tpch_q18_adapted():
+    return """
+    SELECT c_name, o_orderkey, o_orderdate,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS totalprice,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """
+
+
 def q_tpch_q21_adapted(spark, sf_dir):
     """TPC-H Q21-style double-correlated EXISTS / NOT EXISTS: suppliers
     who were the SOLE late shipper in a finished multi-supplier order
@@ -3349,6 +3399,7 @@ QUERIES = {
     "events_quantile_sample": q_events_quantile_sample,
     "tpch_q20_adapted": q_tpch_q20_adapted,
     "tpch_q21_adapted": q_tpch_q21_adapted,
+    "tpch_q18_adapted": q_tpch_q18_adapted,
     "tpch_colocated_join": q_tpch_colocated_join,
     "media_features": q_media_features,
     "kg_embed": q_kg_embed,
@@ -3440,6 +3491,7 @@ ORACLE_SQL = {
     "events_quantile_sample": sql_events_quantile_sample(),
     "tpch_q20_adapted": sql_tpch_q20_adapted(),
     "tpch_q21_adapted": sql_tpch_q21_adapted(),
+    "tpch_q18_adapted": sql_tpch_q18_adapted(),
     "tpch_colocated_join": sql_tpch_colocated_join(),
     "media_features": sql_media_features(),
     "kg_embed": sql_kg_embed(),
