@@ -458,3 +458,31 @@ def test_docs_curation_dedup_shuffle_is_narrow(spark):
     assert re.search(r"hashpartitioning\(lang[^)]*salt", plan), (
         "phase-1 (lang, salt) window partitioning missing"
     )
+
+
+def test_q18_aggregates_fact_before_join(spark):
+    """Q18-adapted must pre-aggregate lineitem (partial+final
+    HashAggregate around one Exchange) and apply the HAVING filter
+    BEFORE the orders join; only the customer dim carries a broadcast
+    hint. Join-then-aggregate would shuffle the full fact-join output."""
+    import re
+
+    from knowledge_nexus_spark.plans.driver_queries import q_tpch_q18_adapted
+
+    df = q_tpch_q18_adapted(spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the HAVING filter must sit between the aggregate and the join:
+    # in the formatted plan the Filter on sq appears above the
+    # HashAggregate pair and below any SortMergeJoin/BroadcastHashJoin
+    # over o_orderkey — assert the aggregate exists and the filter
+    # references the aggregated column, not a joined one
+    assert plan.count("HashAggregate") >= 2
+    m = re.search(r"\(\d+\) Filter\nInput \[2\]: \[l_orderkey[^\]]*, sq", plan)
+    assert m, "HAVING filter does not run directly on the aggregate output"
+    logical = df._jdf.queryExecution().analyzed().toString()
+    for block in logical.split("ResolvedHint")[1:]:
+        rel = re.search(r"Relation \[([a-z])_", block)
+        assert rel is not None and rel.group(1) == "c", (
+            "broadcast hint must pin only the customer dim"
+        )
