@@ -2821,6 +2821,133 @@ def sql_tpch_q2_adapted():
     """
 
 
+def q_tpch_q19_adapted(spark, sf_dir):
+    """Q19-style disjunctive predicate (OR-of-ANDs over brand/size/
+    quantity bands). The scale move is MANUAL CNF hoisting: the union
+    of the part-side conjuncts (brand IN set, size <= 15) is applied to
+    the part scan and the union of the lineitem-side conjuncts
+    (quantity BETWEEN 1 AND 30) to the fact scan, so both reach parquet
+    PushedFilters BEFORE the join; the OR-of-ANDs survives only as a
+    residual join filter on the already-pruned rows. Leaving the raw OR
+    on the join output would scan 100 TB of lineitem unpruned. Part is
+    a dim — hint-broadcast. Revenue math in DECIMAL (Q6 convention)."""
+    bands = [
+        ("Brand#12", 5, 1, 11),
+        ("Brand#23", 10, 10, 20),
+        ("Brand#24", 15, 20, 30),
+    ]
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin([b for b, _, _, _ in bands])
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= max(s for _, s, _, _ in bands))
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= min(lo for _, _, lo, _ in bands))
+        & (F.col("l_quantity") <= max(hi for _, _, _, hi in bands))
+    )
+    residual = None
+    for brand, size_hi, q_lo, q_hi in bands:
+        cond = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= size_hi)
+            & (F.col("l_quantity") >= q_lo)
+            & (F.col("l_quantity") <= q_hi)
+        )
+        residual = cond if residual is None else (residual | cond)
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(residual)
+        .agg(
+            F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def sql_tpch_q19_adapted():
+    return """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                 AS DOUBLE), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """
+
+
+def q_tpch_q22_adapted(spark, sf_dir):
+    """Q22-style global-benchmark anti-join: customers whose balance
+    beats the positive-balance average AND who placed no 1997 order,
+    counted per nation. Two scale disciplines: (1) the scalar subquery
+    decorrelates to a ONE-ROW aggregate broadcast-crossed into the
+    customer scan — and the avg comparison is cleared of its division
+    (acctbal * n > sum) so membership is exact integer/decimal math in
+    both engines, no float-boundary flips; (2) the "has no order"
+    predicate is a LEFT ANTI join against the date-pruned orders
+    projection (o_custkey only) — never a correlated per-row probe.
+    Balance sums in DECIMAL (order-insensitive cross-engine)."""
+    cust = _t(spark, sf_dir, "customer")
+    st = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(_dec(F.col("c_acctbal"))).alias("s_pos"),
+    )
+    rich = (
+        cust.join(F.broadcast(st))
+        .filter(_dec(F.col("c_acctbal")) * F.col("n_pos") > F.col("s_pos"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    o97 = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_custkey")
+    )
+    return (
+        rich.join(o97, rich["c_custkey"] == o97["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec(F.col("c_acctbal"))).cast("double"), 2).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def sql_tpch_q22_adapted():
+    return """
+    WITH st AS (SELECT count(*) AS n_pos,
+                       sum(CAST(c_acctbal AS DECIMAL(18,4))) AS s_pos
+                FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey, count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM customer c, st
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * st.n_pos > st.s_pos
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                        AND o.o_orderdate < TIMESTAMP '1998-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """
+
+
 def q_events_anomaly(spark, sf_dir):
     """3-sigma anomaly detection per event type with EXACT cross-engine
     arithmetic: values scale to integer micro-units, per-group sums and
@@ -3423,6 +3550,8 @@ QUERIES = {
     "dedup_edit_distance": q_dedup_edit_distance,
     "kg_degree_hist": q_kg_degree_hist,
     "tpch_q2_adapted": q_tpch_q2_adapted,
+    "tpch_q19_adapted": q_tpch_q19_adapted,
+    "tpch_q22_adapted": q_tpch_q22_adapted,
     "events_anomaly": q_events_anomaly,
     "dedup_decontaminate": q_dedup_decontaminate,
     "text_repetition": q_text_repetition,
@@ -3514,6 +3643,8 @@ ORACLE_SQL = {
     "dedup_edit_distance": sql_dedup_edit_distance(),
     "kg_degree_hist": sql_kg_degree_hist(),
     "tpch_q2_adapted": sql_tpch_q2_adapted(),
+    "tpch_q19_adapted": sql_tpch_q19_adapted(),
+    "tpch_q22_adapted": sql_tpch_q22_adapted(),
     "events_anomaly": sql_events_anomaly(),
     "dedup_decontaminate": sql_dedup_decontaminate(),
     "text_repetition": sql_text_repetition(),

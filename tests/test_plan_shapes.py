@@ -486,3 +486,57 @@ def test_q18_aggregates_fact_before_join(spark):
         assert rel is not None and rel.group(1) == "c", (
             "broadcast hint must pin only the customer dim"
         )
+
+
+def test_q19_disjunction_hoisted_to_both_scans(spark):
+    """Q19-adapted must push the UNION of each side's disjunct bounds to
+    its parquet scan: the part scan's PushedFilters carry p_brand/p_size
+    and the lineitem scan's carry l_quantity bounds — the OR-of-ANDs may
+    survive only as a residual filter on pre-pruned rows. Part (dim) is
+    the only broadcast hint."""
+    import re
+
+    from knowledge_nexus_spark.plans.driver_queries import q_tpch_q19_adapted
+
+    df = q_tpch_q19_adapted(spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    scans = plan.split("PushedFilters")[1:]
+    part_scan = [s for s in scans if "p_brand" in s[:400]]
+    li_scan = [s for s in scans if "l_quantity" in s[:400]]
+    assert part_scan, "part-side union (brand/size) not pushed to the part scan"
+    assert "p_size" in part_scan[0][:400], "p_size bound missing from part scan"
+    assert li_scan, "l_quantity union bound not pushed to the lineitem scan"
+    # lineitem reads only the 4 needed columns (quantity, partkey, price, disc)
+    for s in plan.split("ReadSchema")[1:]:
+        if "l_quantity" in s[:300]:
+            assert "l_shipdate" not in s[:300], "lineitem scan reads unused columns"
+    logical = df._jdf.queryExecution().analyzed().toString()
+    for block in logical.split("ResolvedHint")[1:]:
+        rel = re.search(r"Relation \[([a-z])_", block)
+        assert rel is not None and rel.group(1) == "p", (
+            "broadcast hint must pin only the part dim"
+        )
+
+
+def test_q22_anti_join_and_divisionless_benchmark(spark):
+    """Q22-adapted must express "no 1997 order" as a LEFT ANTI join (not
+    a correlated probe), push the order-date prune to the orders scan,
+    and read only o_custkey+o_orderdate from orders. The one-row
+    positive-average aggregate is broadcast."""
+    from knowledge_nexus_spark.plans.driver_queries import q_tpch_q22_adapted
+
+    df = q_tpch_q22_adapted(spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "LeftAnti" in plan, "orders exclusion must be a LEFT ANTI join"
+    scans = plan.split("PushedFilters")[1:]
+    assert any("o_orderdate" in s[:400] for s in scans), (
+        "order-date prune not pushed to the orders scan"
+    )
+    for s in plan.split("ReadSchema")[1:]:
+        if "o_custkey" in s[:300]:
+            assert "o_totalprice" not in s[:300], "orders scan reads unused columns"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "one-row benchmark aggregate should broadcast into the customer scan"
+    )
