@@ -2948,6 +2948,457 @@ def sql_tpch_q22_adapted():
     """
 
 
+def q_tpch_q5_adapted(spark, sf_dir):
+    """Q5-style local-supplier volume: revenue per nation where the
+    customer's nation equals the supplier's nation, one region, one
+    order year. The plan discipline is DIM-SIDE co-location: both
+    nationkey lookups are broadcast dims, and the c_nationkey ==
+    s_nationkey equality is part of the JOIN condition on the second
+    dim join (never a post-join filter over the full fact cross-space).
+    orders is a fact and shuffle-joins; lineitem carries only 4 cols."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (F.col("c_nationkey") == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def sql_tpch_q5_adapted():
+    return """
+    SELECT n_name,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                 AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """
+
+
+def q_tpch_q7_adapted(spark, sf_dir):
+    """Q7-style volume shipping between two nations, both directions,
+    grouped by (supp nation, cust nation, ship year). The symmetric
+    pair predicate is applied AFTER both single-nation IN-list prunes:
+    each dim is pre-filtered to the 2-nation set (so the broadcast
+    hash tables are 2 rows), and the disjunctive cross-pair test
+    ((A,B) or (B,A)) runs on the already-pruned join output — the
+    residual touches only rows whose both endpoints are in the set."""
+    pair = ("NATION_13", "NATION_19")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def sql_tpch_q7_adapted():
+    return """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                 AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_13' AND cn.n_name = 'NATION_19')
+       OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_13')
+    GROUP BY sn.n_name, cn.n_name, CAST(year(l_shipdate) AS BIGINT)
+    ORDER BY supp_nation, cust_nation, l_year
+    """
+
+
+def q_tpch_q8_adapted(spark, sf_dir):
+    """Q8-style national market share: of all 'ECONOMY'-type part
+    revenue sold into the AMERICA region per order year, the share
+    supplied by NATION_5. The plan discipline is the conditional-
+    aggregation ratio: ONE pass computes sum(CASE nation) and
+    sum(total) as decimal partials — never two scans or a self-join —
+    and the division happens once per output year on the final
+    aggregates (exact decimal sums → double division → round 6)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_cust = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_5", disc_price)
+                        .otherwise(zero)
+                    ).cast("double")
+                    / F.sum(disc_price).cast("double")
+                ),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def sql_tpch_q8_adapted():
+    return """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+                               (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                 6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region ON nc.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+    GROUP BY CAST(year(o_orderdate) AS BIGINT)
+    ORDER BY o_year
+    """
+
+
+def q_tpch_q9_adapted(spark, sf_dir):
+    """Q9-style product-type profit (no partsupp table in this corpus:
+    supply cost stands in as half the part retail price, the fixed
+    deterministic rule both engines apply). Profit = disc revenue −
+    cost×qty per (supplier nation, order year). Disciplines: the
+    LIKE '%red%' prune happens on the part DIM scan (2k rows) never on
+    the fact; the deepest join tree in the suite (5 joins) keeps every
+    dim broadcast, so the fact's only wide exchanges are the orderkey
+    join (orders is fact-sized — never broadcast) and the final
+    groupBy. All money math in DECIMAL."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # cost folded to ONE (18,4)x(18,4) decimal multiply: a three-way
+    # decimal product overflows precision 38 and the two engines round
+    # the overflow differently; halving in double first is exact (2dp
+    # retail / 2 has <=3 decimal digits, far inside double's 15)
+    half_cost = (F.col("p_retailprice") * F.lit(0.5)).cast("decimal(18,4)")
+    amount = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
+    ) - half_cost * _dec(F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def sql_tpch_q9_adapted():
+    return """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        - CAST(p_retailprice * 0.5 AS DECIMAL(18,4)) *
+                          CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+    ORDER BY nation, o_year DESC
+    """
+
+
+def q_tpch_q10_adapted(spark, sf_dir):
+    """Q10-style returned-item ranking: top-20 customers by revenue lost
+    to returns in one quarter. The plan discipline is AGGREGATE-THEN-
+    ENRICH: the fact side groups to (custkey, revenue) and takes the
+    top 20 FIRST; customer attributes join onto the 20-row result —
+    never onto the pre-aggregation fact stream. At 100 TB the
+    difference is carrying 2 narrow columns vs 5 wide ones through the
+    big shuffle (and the enrich join is a 20-row broadcast)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
+    )
+    # round the DECIMAL sum to 2dp BEFORE the double cast: a sum ending
+    # in an exact .xx5 rounds half-up identically in both engines as a
+    # decimal, but diverges once it's a binary double (shortest-repr
+    # half-up vs raw-binary round) — observed on this corpus at 0.01
+    top = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_custkey")
+        .limit(20)
+    )
+    return (
+        top.join(cust, top["o_custkey"] == cust["c_custkey"])
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "c_nationkey")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+    )
+
+
+def sql_tpch_q10_adapted():
+    return """
+    WITH top AS (
+      SELECT o_custkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                  AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY o_custkey
+      ORDER BY revenue DESC, o_custkey LIMIT 20)
+    SELECT c_custkey, c_name, revenue, c_acctbal, c_nationkey
+    FROM top JOIN customer ON o_custkey = c_custkey
+    ORDER BY revenue DESC, c_custkey
+    """
+
+
+def q_tpch_q11_adapted(spark, sf_dir):
+    """Q11-style value concentration (no partsupp: lineitem revenue per
+    part is the stock-value stand-in): parts whose revenue exceeds
+    1.3x the MEAN per-part revenue. The cut is mean-relative (TPC-H's
+    fixed fraction-of-total goes empty as part count grows with SF;
+    k x mean is scale-invariant). Disciplines: ONE aggregation
+    produces the per-part values; the global benchmark is a
+    second-stage re-agg of those partials (tiny — one row), broadcast
+    back as a one-row frame; and the comparison is DIVISION-FREE
+    (10 x n x value > 13 x total) in exact decimals, so membership
+    never flips on a float boundary. Precision bookkeeping: val4 is
+    decimal-rounded to 4dp first (positive-decimal rounding is
+    identical cross-engine); (n*10) is cast decimal(12,0) so the
+    product lands at decimal(31,4) — inside Spark's 38 cap with no
+    precision-loss rounding (good to 10^11 parts); 13 is cast
+    decimal(2,0) so sum's decimal(28,4) widens to (31,4) not (39,4)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(disc_price), 4).cast("decimal(18,4)").alias("val4")
+    )
+    total = per_part.agg(
+        F.sum("val4").alias("total4"),
+        F.count(F.lit(1)).alias("nparts"),
+    )
+    lhs = F.col("val4") * (F.col("nparts") * F.lit(10)).cast("decimal(12,0)")
+    rhs = F.col("total4") * F.lit(13).cast("decimal(2,0)")
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(lhs > rhs)
+        .select(
+            "l_partkey",
+            F.round(F.col("val4").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def sql_tpch_q11_adapted():
+    return """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4)
+                  AS DECIMAL(18,4)) AS val4
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT sum(val4) AS total4, count(*) AS nparts FROM per_part)
+    SELECT l_partkey, round(CAST(val4 AS DOUBLE), 2) AS part_value
+    FROM per_part, t
+    WHERE val4 * CAST(nparts * 10 AS DECIMAL(12,0)) > total4 * CAST(13 AS DECIMAL(2,0))
+    ORDER BY part_value DESC, l_partkey
+    """
+
+
+def q_tpch_q14_adapted(spark, sf_dir):
+    """Q14-style promo revenue share for one month: 100 × promo-part
+    revenue / all revenue. Conditional-aggregation ratio in one pass
+    (CASE inside the sum, decimal partials, single division on the
+    final two aggregates); part is the only dim and broadcasts; the
+    month prune reaches the lineitem scan."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero)
+            ).cast("double")
+            / F.sum(disc_price).cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+def sql_tpch_q14_adapted():
+    return """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+             6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """
+
+
 def q_events_anomaly(spark, sf_dir):
     """3-sigma anomaly detection per event type with EXACT cross-engine
     arithmetic: values scale to integer micro-units, per-group sums and
@@ -3552,6 +4003,13 @@ QUERIES = {
     "tpch_q2_adapted": q_tpch_q2_adapted,
     "tpch_q19_adapted": q_tpch_q19_adapted,
     "tpch_q22_adapted": q_tpch_q22_adapted,
+    "tpch_q5_adapted": q_tpch_q5_adapted,
+    "tpch_q7_adapted": q_tpch_q7_adapted,
+    "tpch_q8_adapted": q_tpch_q8_adapted,
+    "tpch_q9_adapted": q_tpch_q9_adapted,
+    "tpch_q10_adapted": q_tpch_q10_adapted,
+    "tpch_q11_adapted": q_tpch_q11_adapted,
+    "tpch_q14_adapted": q_tpch_q14_adapted,
     "events_anomaly": q_events_anomaly,
     "dedup_decontaminate": q_dedup_decontaminate,
     "text_repetition": q_text_repetition,
@@ -3645,6 +4103,13 @@ ORACLE_SQL = {
     "tpch_q2_adapted": sql_tpch_q2_adapted(),
     "tpch_q19_adapted": sql_tpch_q19_adapted(),
     "tpch_q22_adapted": sql_tpch_q22_adapted(),
+    "tpch_q5_adapted": sql_tpch_q5_adapted(),
+    "tpch_q7_adapted": sql_tpch_q7_adapted(),
+    "tpch_q8_adapted": sql_tpch_q8_adapted(),
+    "tpch_q9_adapted": sql_tpch_q9_adapted(),
+    "tpch_q10_adapted": sql_tpch_q10_adapted(),
+    "tpch_q11_adapted": sql_tpch_q11_adapted(),
+    "tpch_q14_adapted": sql_tpch_q14_adapted(),
     "events_anomaly": sql_events_anomaly(),
     "dedup_decontaminate": sql_dedup_decontaminate(),
     "text_repetition": sql_text_repetition(),

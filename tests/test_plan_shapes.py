@@ -540,3 +540,70 @@ def test_q22_anti_join_and_divisionless_benchmark(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         "one-row benchmark aggregate should broadcast into the customer scan"
     )
+
+
+def test_q9_fact_exchanges_are_orderkey_join_and_final_agg_only(spark):
+    """Q9-adapted is the deepest join tree in the suite (5 joins). Every
+    dim (part/supplier/nation) must broadcast; the only shuffle
+    exchanges in the whole plan are the fact-fact orderkey join and the
+    final (nation, year) aggregate. A third exchange means a dim
+    silently fell off the broadcast path and the fact is being
+    re-partitioned for it — the 100 TB killer this query exists to pin."""
+    from knowledge_nexus_spark.plans.driver_queries import q_tpch_q9_adapted
+
+    df = q_tpch_q9_adapted(spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    n_bcast = plan.count("BroadcastExchange")
+    assert n_bcast >= 3, f"part/supplier/nation must all broadcast, saw {n_bcast}"
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 3, (
+        f"fact should shuffle only for the orderkey join + final agg, saw "
+        f"{n_shuffle} hash exchanges"
+    )
+    # the %red% prune must reach the part scan, not run post-join
+    scans = plan.split("PushedFilters")[1:]
+    assert any("p_name" in s[:400] for s in scans), (
+        "p_name LIKE prune not pushed to the part scan"
+    )
+
+
+def test_q10_aggregates_and_limits_before_customer_enrich(spark):
+    """Q10-adapted must take the top-20 on the (custkey, revenue)
+    aggregate FIRST and join customer attributes onto the 20-row
+    result — the limit sits BELOW the customer join in the plan tree.
+    Enrich-then-aggregate would drag c_name/c_acctbal through the big
+    fact shuffle."""
+    from knowledge_nexus_spark.plans.driver_queries import q_tpch_q10_adapted
+
+    df = q_tpch_q10_adapted(spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, "top-20 must be a sort-limit"
+    # the customer scan must not read columns into the fact aggregate:
+    # revenue agg happens over (o_custkey, price, discount) only
+    agg_sections = [
+        s for s in plan.split("HashAggregate")[1:] if "revenue" in s[:600]
+    ]
+    assert agg_sections, "expected a revenue HashAggregate"
+    assert all("c_name" not in s[:600] for s in agg_sections), (
+        "customer attributes leaked below the revenue aggregate"
+    )
+
+
+def test_q11_benchmark_is_one_row_broadcast_and_division_free(spark):
+    """Q11-adapted compares 10*n*val4 > 13*total in exact decimals: the
+    global benchmark re-agg is a one-row broadcast (never a shuffle
+    join back onto per-part rows) and the membership test contains no
+    division or double cast — CheckOverflow/decimal multiply only."""
+    from knowledge_nexus_spark.plans.driver_queries import q_tpch_q11_adapted
+
+    df = q_tpch_q11_adapted(spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "one-row benchmark must broadcast"
+    )
+    # division-free: no Divide in any Filter section of the plan
+    for sec in plan.split("Condition :")[1:]:
+        head = sec.splitlines()[0] if sec.splitlines() else ""
+        assert " / " not in head, f"membership test must not divide: {head}"
