@@ -3924,6 +3924,61 @@ def sql_events_ewma():
     """
 
 
+def q_events_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, value): the
+    two-dimensional data-skipping layout. Per 2^20-key bucket the query
+    emits count + min/max of BOTH dimensions; because fixing the top 12
+    key bits fixes the top 6 bits of each dimension, every bucket's box
+    is at most 2^10 wide per dim — exactly the property that lets
+    file-level min/max stats prune a box filter to the few intersecting
+    files at 100 TB (Delta OPTIMIZE ZORDER BY / Iceberg z-ordered sort
+    mechanism; layout writer in `functions/zorder.py:zorder_layout`).
+    The key is pure JVM bit arithmetic (magic-mask spread, 4 steps at 16
+    bits) — whole-stage codegen, zero Python, bit-identical in any
+    64-bit SQL engine. `value` is scaled to integer centi-units first
+    (2dp data: never an exact .5, so HALF_UP vs half-away can't split
+    the engines); both dims clip to 16 bits inside the key function,
+    and the clip is part of the contract."""
+    from knowledge_nexus_spark.functions.zorder import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    return (
+        ev.withColumn("zkey", zorder_key(F.col("u"), F.col("v"), 16))
+        .groupBy(F.shiftright(F.col("zkey"), 20).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def sql_events_zorder():
+    from knowledge_nexus_spark.functions.zorder import sql_spread_ctes
+
+    ctes, last = sql_spread_ctes(["xa", "xb"], "base", bits=16)
+    return f"""
+    WITH base AS (
+      SELECT (user_id & 65535) AS xa,
+             (CAST(round(value * 100) AS BIGINT) & 65535) AS xb,
+             user_id AS u,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    {ctes},
+    z AS (SELECT u, v, (xa | (xb << 1)) AS zkey FROM {last})
+    SELECT zkey >> 20 AS bucket, count(*) AS n,
+           min(u) AS u_min, max(u) AS u_max,
+           min(v) AS v_min, max(v) AS v_max
+    FROM z GROUP BY bucket ORDER BY bucket
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -4022,6 +4077,7 @@ QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "kg_kcore": q_kg_kcore,
     "events_ewma": q_events_ewma,
+    "events_zorder": q_events_zorder,
 }
 
 ORACLE_SQL = {
@@ -4122,4 +4178,5 @@ ORACLE_SQL = {
     "text_pii_redact": sql_text_pii_redact(),
     "kg_kcore": sql_kg_kcore(),
     "events_ewma": sql_events_ewma(),
+    "events_zorder": sql_events_zorder(),
 }
