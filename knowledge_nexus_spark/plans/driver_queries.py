@@ -3979,6 +3979,73 @@ def sql_events_zorder():
     """
 
 
+def q_kg_link_predict(spark, sf_dir):
+    """KG-completion link prediction by neighborhood overlap: for every
+    part pair sharing >= 1 order, common-neighbor count + integer-exact
+    Jaccard over order neighborhoods, top-20. The score is kept in
+    integer milli-units ((1000*common) div (deg_a+deg_b-common)) so
+    ranking never flips on a float boundary cross-engine. Scale shape:
+    the pair generation is the standard neighborhood self-join on the
+    bipartite edge list — per-order fan-out is C(n,2) with n bounded by
+    order size (single-digit here; for unbounded containers the capped
+    variant in `graphops.cap_group_size` + mirrored-oracle cap is the
+    hub defence, demonstrated in kg_comention). Degrees join on the
+    part dim AFTER pair aggregation (k-sized, AQE picks broadcast when
+    small); ordering (score, a, b) is total so top-20 is deterministic."""
+    po = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    x, y = po.alias("x"), po.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("l_partkey").alias("part_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("l_partkey").alias("part_b"), F.col("deg").alias("deg_b"))
+    return (
+        pairs.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "common",
+            "deg_a",
+            "deg_b",
+            F.expr("(1000 * common) div (deg_a + deg_b - common)").alias(
+                "jaccard_milli"
+            ),
+        )
+        .orderBy(F.col("jaccard_milli").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+def sql_kg_link_predict():
+    return """
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey, count(*) AS deg FROM po GROUP BY l_partkey),
+    pairs AS (
+      SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, count(*) AS common
+      FROM po x JOIN po y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, common, da.deg AS deg_a, db.deg AS deg_b,
+           (1000 * common) // (da.deg + db.deg - common) AS jaccard_milli
+    FROM pairs
+    JOIN deg da ON part_a = da.l_partkey
+    JOIN deg db ON part_b = db.l_partkey
+    ORDER BY jaccard_milli DESC, part_a, part_b LIMIT 20
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -4078,6 +4145,7 @@ QUERIES = {
     "kg_kcore": q_kg_kcore,
     "events_ewma": q_events_ewma,
     "events_zorder": q_events_zorder,
+    "kg_link_predict": q_kg_link_predict,
 }
 
 ORACLE_SQL = {
@@ -4179,4 +4247,5 @@ ORACLE_SQL = {
     "kg_kcore": sql_kg_kcore(),
     "events_ewma": sql_events_ewma(),
     "events_zorder": sql_events_zorder(),
+    "kg_link_predict": sql_kg_link_predict(),
 }
