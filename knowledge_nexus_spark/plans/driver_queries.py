@@ -3979,6 +3979,47 @@ def sql_events_zorder():
     """
 
 
+def q_events_trailing(spark, sf_dir):
+    """Trailing 1-hour per-user aggregate via a time-RANGE window frame
+    (RANGE BETWEEN INTERVAL PRECEDING AND CURRENT ROW) — the sliding
+    time-window staple that ROWS frames can't express when event
+    spacing is irregular. Orders by integer epoch-MICROS so the frame
+    boundary is exact in both engines (never a float timestamp), and
+    equal-timestamp peers land in the same frame by RANGE semantics in
+    both. The sum runs in integer centi-units (2dp data — exact).
+    Scale shape: one hash Exchange on user_id; the frame is evaluated
+    in one per-partition sort pass with a sliding two-pointer, state
+    O(window span) per key."""
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: hop through TIMESTAMP for unix_micros (UTC
+    # session TZ makes the cast the identity)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(vc).over(w).alias("sum_centi_1h"),
+    )
+
+
+def sql_events_trailing():
+    return """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_centi_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """
+
+
 def q_kg_link_predict(spark, sf_dir):
     """KG-completion link prediction by neighborhood overlap: for every
     part pair sharing >= 1 order, common-neighbor count + integer-exact
@@ -4146,6 +4187,7 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "events_zorder": q_events_zorder,
     "kg_link_predict": q_kg_link_predict,
+    "events_trailing": q_events_trailing,
 }
 
 ORACLE_SQL = {
@@ -4248,4 +4290,5 @@ ORACLE_SQL = {
     "events_ewma": sql_events_ewma(),
     "events_zorder": sql_events_zorder(),
     "kg_link_predict": sql_kg_link_predict(),
+    "events_trailing": sql_events_trailing(),
 }
