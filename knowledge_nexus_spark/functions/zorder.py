@@ -62,7 +62,15 @@ def part1by1(col: Column, bits: int = 16) -> Column:
 def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     """Morton key of two non-negative integral columns: bit i of `a`
     lands at bit 2i, bit i of `b` at bit 2i+1. With bits=16 the key is
-    32 bits; bits<=31 keeps the key inside a signed 64-bit BIGINT."""
+    32 bits; bits<=31 keeps the key inside a signed 64-bit BIGINT.
+
+    SIZE `bits` TO COVER THE DOMAIN (bits >= ceil(log2(max_value+1))):
+    values beyond 2^bits-1 wrap modulo 2^bits by the clip, which keeps
+    the key deterministic and cross-engine identical but DESTROYS the
+    box-bounding property — a wrapped high value shares key ranges with
+    low values, so a file's raw min/max box spans the whole domain and
+    nothing is skipped. Layout callers should pre-scale or bucket
+    unbounded dimensions (e.g. quantile-rank them) before keying."""
     return part1by1(a, bits).bitwiseOR(F.shiftleft(part1by1(b, bits), 1))
 
 

@@ -35,6 +35,14 @@ def _dec(col, p=18, s=4):
     return col.cast(f"decimal({p},{s})")
 
 
+def _disc_price():
+    """l_extendedprice * (1 - l_discount) in exact DECIMAL(18,4) partials —
+    the one revenue expression every TPC-H-style plan and oracle share."""
+    return _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
+    )
+
+
 # ---------------------------------------------------------------- KG ops ---
 
 def q_kg_pipeline_triples(spark, sf_dir):
@@ -552,13 +560,13 @@ def sql_text_lang():
 def q_tpch_q1(spark, sf_dir):
     """Pricing summary — money sums via DECIMAL for cross-engine exactness."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount")))
+    disc_price = _disc_price()
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(_dec(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -567,10 +575,10 @@ def q_tpch_q1(spark, sf_dir):
 def sql_tpch_q1():
     return """
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
@@ -578,10 +586,10 @@ def sql_tpch_q1():
 
 def q_tpch_top_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount")))
+    disc_price = _disc_price()
     return (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
@@ -590,8 +598,8 @@ def q_tpch_top_orders(spark, sf_dir):
 def sql_tpch_top_orders():
     return """
     SELECT l_orderkey,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
     FROM lineitem GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
     """
 
@@ -606,7 +614,7 @@ def q_tpch_region_revenue(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount")))
+    disc_price = _disc_price()
     return (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li["l_orderkey"] == F.col("o_orderkey"))
@@ -616,15 +624,15 @@ def q_tpch_region_revenue(spark, sf_dir):
               F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
-        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
     )
 
 
 def sql_tpch_region_revenue():
     return """
     SELECT r_name,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -647,15 +655,15 @@ def q_tpch_q6(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(disc_rev).cast("double"), 2).alias("revenue"),
+        .agg(F.round(F.sum(disc_rev), 2).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_rows"))
     )
 
 
 def sql_tpch_q6():
     return """
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                          CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
@@ -668,7 +676,7 @@ def q_tpch_q3(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount")))
+    disc_price = _disc_price()
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         # No broadcast hint on the filtered customer segment: it is ~1/5 of
@@ -677,7 +685,7 @@ def q_tpch_q3(spark, sf_dir):
         .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("o_orderdate") < "1995-03-15")
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
-        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
@@ -686,8 +694,8 @@ def q_tpch_q3(spark, sf_dir):
 def sql_tpch_q3():
     return """
     SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -850,7 +858,7 @@ def q_events_windowed(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4).cast("double").alias("sum_value"),
         )
     )
 
@@ -859,7 +867,7 @@ def sql_events_windowed():
     return """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
            count(*) AS n,
-           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """
 
@@ -1026,7 +1034,7 @@ def q_events_range_agg(spark, sf_dir):
     )
     return rj.groupBy("event_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_purch"),
-        F.round(F.sum(_dec(F.col("r_value"), 28, 6)).cast("double"), 4).alias(
+        F.round(F.sum(_dec(F.col("r_value"), 28, 6)), 4).cast("double").alias(
             "sum_value"
         ),
     )
@@ -1035,7 +1043,7 @@ def q_events_range_agg(spark, sf_dir):
 def sql_events_range_agg():
     return """
     SELECT e.event_id, e.user_id, count(*) AS n_purch,
-           round(CAST(sum(CAST(p.value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+           CAST(round(sum(CAST(p.value AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_value
     FROM events e
     JOIN events p
       ON e.user_id = p.user_id
@@ -1228,7 +1236,7 @@ def q_events_running(spark, sf_dir):
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum(_dec(F.col("value"), 28, 6)).over(w).cast("double"), 4).alias(
+        F.round(F.sum(_dec(F.col("value"), 28, 6)).over(w), 4).cast("double").alias(
             "running_value"
         ),
     )
@@ -1237,9 +1245,9 @@ def q_events_running(spark, sf_dir):
 def sql_events_running():
     return """
     SELECT event_id, user_id,
-           round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_value
     FROM events
     """
 
@@ -1292,7 +1300,7 @@ def q_tpch_q18_adapted(spark, sf_dir):
             "o_orderkey",
             "o_orderdate",
             F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
-            F.round(F.col("sq").cast("double"), 2).alias("sum_qty"),
+            F.round(F.col("sq"), 2).cast("double").alias("sum_qty"),
         )
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(20)
@@ -1303,7 +1311,7 @@ def sql_tpch_q18_adapted():
     return """
     SELECT c_name, o_orderkey, o_orderdate,
            round(CAST(o_totalprice AS DOUBLE), 2) AS totalprice,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS sum_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1622,7 +1630,7 @@ def q_tpch_colocated_join(spark, sf_dir):
         joined.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias(
+            F.round(F.sum(_dec(F.col("l_extendedprice"))), 2).cast("double").alias(
                 "total_price"
             ),
         )
@@ -1633,7 +1641,7 @@ def q_tpch_colocated_join(spark, sf_dir):
 def sql_tpch_colocated_join():
     return """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS total_price
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -1679,14 +1687,12 @@ def q_tpch_rollup(spark, sf_dir):
     """ROLLUP multi-level aggregate (per-flag/status, per-flag, grand
     total) — Spark expands grouping sets in one pass over the scan."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = _dec(F.col("l_extendedprice")) * (
-        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
-    )
+    disc_price = _disc_price()
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("revenue"),
         )
     )
 
@@ -1694,8 +1700,8 @@ def q_tpch_rollup(spark, sf_dir):
 def sql_tpch_rollup():
     return """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
 
@@ -2066,9 +2072,7 @@ def q_tpch_q15_adapted(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
-    disc_price = _dec(F.col("l_extendedprice")) * (
-        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
-    )
+    disc_price = _disc_price()
     rev = li.groupBy("l_suppkey").agg(F.sum(disc_price).alias("r"))
     mx = rev.agg(F.max("r").alias("mx"))
     sup = _t(spark, sf_dir, "supplier")
@@ -2078,7 +2082,7 @@ def q_tpch_q15_adapted(spark, sf_dir):
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("r").cast("double"), 2).alias("total_revenue"),
+            F.round(F.col("r"), 2).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -2094,7 +2098,7 @@ def sql_tpch_q15_adapted():
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 2) AS total_revenue
+    SELECT s_suppkey, s_name, CAST(round(r, 2) AS DOUBLE) AS total_revenue
     FROM rev JOIN supplier ON s_suppkey = l_suppkey
     WHERE r = (SELECT max(r) FROM rev)
     ORDER BY s_suppkey
@@ -2432,7 +2436,7 @@ def sql_events_agg_view():
     return """
     SELECT event_type,
            CAST(count(value) AS BIGINT) AS n_rows,
-           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS v_sum,
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE) AS v_sum,
            round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
                  / count(value), 4) AS v_avg,
            min(value) AS v_min,
@@ -2858,14 +2862,12 @@ def q_tpch_q19_adapted(spark, sf_dir):
             & (F.col("l_quantity") <= q_hi)
         )
         residual = cond if residual is None else (residual | cond)
-    disc_price = _dec(F.col("l_extendedprice")) * (
-        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
-    )
+    disc_price = _disc_price()
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .filter(residual)
         .agg(
-            F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -2873,9 +2875,8 @@ def q_tpch_q19_adapted(spark, sf_dir):
 
 def sql_tpch_q19_adapted():
     return """
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                 AS DOUBLE), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_rows
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -2921,7 +2922,7 @@ def q_tpch_q22_adapted(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum(_dec(F.col("c_acctbal"))).cast("double"), 2).alias(
+            F.round(F.sum(_dec(F.col("c_acctbal"))), 2).cast("double").alias(
                 "totacctbal"
             ),
         )
@@ -2935,7 +2936,7 @@ def sql_tpch_q22_adapted():
                        sum(CAST(c_acctbal AS DECIMAL(18,4))) AS s_pos
                 FROM customer WHERE c_acctbal > 0.0)
     SELECT c_nationkey, count(*) AS numcust,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS totacctbal
     FROM customer c, st
     WHERE CAST(c_acctbal AS DECIMAL(18,4)) * st.n_pos > st.s_pos
@@ -2973,9 +2974,7 @@ def q_tpch_q5_adapted(spark, sf_dir):
         "n_nationkey", "n_name", "n_regionkey"
     )
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    disc_price = _dec(F.col("l_extendedprice")) * (
-        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
-    )
+    disc_price = _disc_price()
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -2987,7 +2986,7 @@ def q_tpch_q5_adapted(spark, sf_dir):
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 
@@ -2995,9 +2994,8 @@ def q_tpch_q5_adapted(spark, sf_dir):
 def sql_tpch_q5_adapted():
     return """
     SELECT n_name,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                 AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -3050,9 +3048,7 @@ def q_tpch_q7_adapted(spark, sf_dir):
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    disc_price = _dec(F.col("l_extendedprice")) * (
-        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
-    )
+    disc_price = _disc_price()
     return (
         li.join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -3066,7 +3062,7 @@ def q_tpch_q7_adapted(spark, sf_dir):
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
-        .agg(F.round(F.sum(disc_price).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -3075,9 +3071,8 @@ def sql_tpch_q7_adapted():
     return """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l_shipdate) AS BIGINT) AS l_year,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                 AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN orders ON l_orderkey = o_orderkey
@@ -3115,9 +3110,7 @@ def q_tpch_q8_adapted(spark, sf_dir):
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    disc_price = _dec(F.col("l_extendedprice")) * (
-        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
-    )
+    disc_price = _disc_price()
     zero = F.lit(0).cast("decimal(18,4)")
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
@@ -3207,7 +3200,7 @@ def q_tpch_q9_adapted(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -3215,10 +3208,10 @@ def q_tpch_q9_adapted(spark, sf_dir):
 def sql_tpch_q9_adapted():
     return """
     SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
                           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
                         - CAST(p_retailprice * 0.5 AS DECIMAL(18,4)) *
-                          CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+                          CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS sum_profit
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -3255,9 +3248,7 @@ def q_tpch_q10_adapted(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
     )
-    disc_price = _dec(F.col("l_extendedprice")) * (
-        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
-    )
+    disc_price = _disc_price()
     # round the DECIMAL sum to 2dp BEFORE the double cast: a sum ending
     # in an exact .xx5 rounds half-up identically in both engines as a
     # decimal, but diverges once it's a binary double (shortest-repr
@@ -3314,9 +3305,7 @@ def q_tpch_q11_adapted(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
-    disc_price = _dec(F.col("l_extendedprice")) * (
-        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
-    )
+    disc_price = _disc_price()
     per_part = li.groupBy("l_partkey").agg(
         F.round(F.sum(disc_price), 4).cast("decimal(18,4)").alias("val4")
     )
@@ -3331,7 +3320,7 @@ def q_tpch_q11_adapted(spark, sf_dir):
         .filter(lhs > rhs)
         .select(
             "l_partkey",
-            F.round(F.col("val4").cast("double"), 2).alias("part_value"),
+            F.round(F.col("val4"), 2).cast("double").alias("part_value"),
         )
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
@@ -3346,7 +3335,7 @@ def sql_tpch_q11_adapted():
                   AS DECIMAL(18,4)) AS val4
       FROM lineitem GROUP BY l_partkey),
     t AS (SELECT sum(val4) AS total4, count(*) AS nparts FROM per_part)
-    SELECT l_partkey, round(CAST(val4 AS DOUBLE), 2) AS part_value
+    SELECT l_partkey, CAST(round(val4, 2) AS DOUBLE) AS part_value
     FROM per_part, t
     WHERE val4 * CAST(nparts * 10 AS DECIMAL(12,0)) > total4 * CAST(13 AS DECIMAL(2,0))
     ORDER BY part_value DESC, l_partkey
@@ -3368,9 +3357,7 @@ def q_tpch_q14_adapted(spark, sf_dir):
         )
         .select("l_partkey", "l_extendedprice", "l_discount")
     )
-    disc_price = _dec(F.col("l_extendedprice")) * (
-        F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
-    )
+    disc_price = _disc_price()
     zero = F.lit(0).cast("decimal(18,4)")
     return li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).agg(
         F.round(
@@ -3559,7 +3546,7 @@ def q_events_salted_agg(spark, sf_dir):
         partial.groupBy("event_type")
         .agg(
             F.sum("pn").alias("n"),
-            F.round(F.sum("ps").cast("double"), 4).alias("sum_value"),
+            F.round(F.sum("ps"), 4).cast("double").alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -3568,7 +3555,7 @@ def q_events_salted_agg(spark, sf_dir):
 def sql_events_salted_agg():
     return """
     SELECT event_type, count(*) AS n,
-           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type ORDER BY event_type
     """
 

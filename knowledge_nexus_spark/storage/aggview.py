@@ -77,7 +77,11 @@ def finalize(view: DataFrame, keys: list[str]) -> DataFrame:
     return view.select(
         *keys,
         F.col("n_rows").cast("long").alias("n_rows"),
-        F.round(F.col("v_sum").cast("double"), 4).alias("v_sum"),
+        # round the exact DECIMAL sum BEFORE the double cast: an exact
+        # .xxx5 boundary rounds identically in both engines as a decimal
+        # but diverges once it is a binary double (shortest-repr HALF_UP
+        # vs raw-binary round)
+        F.round(F.col("v_sum"), 4).cast("double").alias("v_sum"),
         # divide as DOUBLE, not decimal: the two engines pick different
         # division scales for decimal/bigint, which can flip the 4th
         # rounded digit; double-of-exact-decimal ÷ int is bit-identical

@@ -67,13 +67,21 @@ def main() -> int:
             time.sleep(SLEEP_BETWEEN_GATES_S)
             continue
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-        res = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            _append({"kind": "bench_fire", "ok": False, "err": "timeout"})
+            return 1
         line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
-        if not line.startswith("{"):
-            print("bench produced no JSON line", file=sys.stderr)
+        if res.returncode != 0 or not line.startswith("{"):
+            _append(
+                {"kind": "bench_fire", "ok": False,
+                 "err": f"rc={res.returncode}", "tail": res.stderr[-300:]}
+            )
+            print("bench failed or produced no JSON line", file=sys.stderr)
             print(res.stdout[-2000:], file=sys.stderr)
             print(res.stderr[-2000:], file=sys.stderr)
             return 1
