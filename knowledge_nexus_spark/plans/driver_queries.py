@@ -1299,6 +1299,8 @@ def q_tpch_q18_adapted(spark, sf_dir):
             "c_name",
             "o_orderkey",
             "o_orderdate",
+            # rounding-sweep exemption: o_totalprice is a raw 2dp DOUBLE
+            # column, so a 2dp round has no third-digit boundary to flip
             F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
             F.round(F.col("sq"), 2).cast("double").alias("sum_qty"),
         )
@@ -1438,6 +1440,7 @@ def q_tpch_q20_adapted(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     return (
         sup.join(qual, sup["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        # rounding-sweep exemption: s_acctbal is a raw 2dp DOUBLE column
         .select("s_name", F.round(F.col("s_acctbal").cast("double"), 2).alias("acctbal"))
         .orderBy("s_name")
     )
@@ -1486,6 +1489,8 @@ def q_kg_embed(spark, sf_dir):
         .select(
             "doc_id",
             "idx",
+            # rounding-sweep exemption: val is a float32 the oracle
+            # re-derives bit-identically; both sides round the same double
             F.round(F.col("val").cast("double"), 6).alias("w"),
         )
     )
@@ -1789,6 +1794,9 @@ def q_tpch_q17_adapted(spark, sf_dir):
         _dec(F.col("l_quantity"), 18, 4) * 5 * F.col("cnt") < F.col("sq")
     )
     return small.agg(
+        # rounding-sweep exemption: the /7 quotient is inherently inexact,
+        # so BOTH sides round the same binary double (decimal division
+        # picks different scales per engine and would diverge instead)
         F.round((F.sum(_dec(F.col("l_extendedprice"))) / 7).cast("double"), 2).alias(
             "avg_yearly"
         )
