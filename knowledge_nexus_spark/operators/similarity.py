@@ -17,6 +17,9 @@ ANN extension).
                     exact re-rank. Per-query work is O(probed buckets + k),
                     independent of corpus size.
   knn_self_join   — k nearest neighbors for EVERY row via banded blocking
+  tfidf_topk_related — sparse LEXICAL top-k: tf-idf cosine via the term
+                    inverted-index dot-product join, integer weights so a
+                    SQL oracle reproduces it exactly
   ivf_build/ivf_assign/ivf_topk/write_ivf_index — IVF ANN: deterministic
                     Lloyd coarse quantizer (md5-seeded init, decimal-sum
                     centroid updates), literal-expression assignment (one
@@ -329,4 +332,99 @@ def knn_self_join(
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .select("id", "neighbor", "score")
+    )
+
+
+# --- sparse lexical similarity (tf-idf cosine) -----------------------------
+
+
+def tfidf_topk_related(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """Top-``k`` most similar documents per document under tf-idf cosine,
+    computed as a SPARSE dot-product join over the term inverted index —
+    the lexical sibling of the dense-embedding ANN ops above, and the
+    classic related-documents / semantic-dedup-candidate query
+    (reference's similarity surface: graph_rag Q1/W2 generalized to
+    weighted bags of words).
+
+    Shape (all JVM-native, no Python):
+      1. tf(doc, term) — one groupBy over the exploded tokens;
+      2. df(term) — vocabulary-sized aggregate over the SAME frame;
+      3. integer weight w = tf·10^6 DIV df (BIGINT both engines truncate
+         identically; same surrogate as the oracled ``docs_tfidf``) —
+         keeping weights integral makes the dot products and norms EXACT
+         and aggregation-order-independent, so a SQL oracle reproduces
+         them bit-for-bit; the only floats are one CAST, two IEEE sqrt
+         and one divide at the very end, each correctly rounded and
+         hence deterministic cross-engine;
+      4. pair numerators: postings self-join on term (id_a < id_b) +
+         groupBy pair — the standard sparse-matrix-product plan (the
+         inverted index IS the blocking: pairs sharing no term never
+         meet);
+      5. symmetrize, join the two norms, window top-k per doc.
+
+    Scale: the term join's fan-out is Σ_t df(t)² — corpus-universal
+    terms make it quadratic, so at web scale pruning them with
+    ``max_df_ratio`` is mandatory (their idf ≈ 0 contribution doesn't
+    justify quadratic buckets; DIMSUM-style magnitude sampling is the
+    next step beyond). Integer headroom: sums stay < 2^63
+    while Σ_shared tf_a·tf_b < ~9·10^6 per pair — thousands of repeated
+    tokens per doc; re-scale the 10^6 weight factor for longer docs."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    post = tf.join(dfreq, "term").withColumn(
+        "w", F.expr("tf * CAST(1000000 AS BIGINT) DIV df")
+    )
+    if max_df_ratio < 1.0:
+        # scalar max-df bound: 1-row aggregate, broadcast — not a data join
+        nd = df.select(F.count(F.lit(1)).alias("n_docs"))
+        post = post.crossJoin(F.broadcast(nd)).filter(
+            F.col("df") <= F.col("n_docs") * F.lit(max_df_ratio)
+        )
+    post = post.select("id", "term", "w")
+    norms = post.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
+    a, b = post.alias("a"), post.alias("b")
+    num = (
+        a.join(b, "term")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("num"))
+    )
+    sym = num.select(
+        F.col("doc_a").alias("id"), F.col("doc_b").alias("neighbor"), "num"
+    ).unionByName(
+        num.select(
+            F.col("doc_b").alias("id"), F.col("doc_a").alias("neighbor"), "num"
+        )
+    )
+    na = norms.select(F.col("id"), F.col("norm2").alias("norm_a"))
+    nb = norms.select(F.col("id").alias("neighbor"), F.col("norm2").alias("norm_b"))
+    sim = (
+        sym.join(na, "id")
+        .join(nb, "neighbor")
+        .withColumn(
+            "cosim",
+            F.col("num").cast("double")
+            / (F.sqrt(F.col("norm_a").cast("double")) * F.sqrt(F.col("norm_b").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosim").desc(), "neighbor")
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias("doc_id"),
+            "neighbor",
+            F.round("cosim", 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

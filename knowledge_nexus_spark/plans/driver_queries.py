@@ -4082,6 +4082,67 @@ def sql_kg_link_predict():
     """
 
 
+def q_docs_related(spark, sf_dir):
+    """Top-3 related documents per document under tf-idf cosine — the
+    sparse lexical similarity join (inverted-index dot product, integer
+    tf·10^6 DIV df weights so every aggregate is exact and order-free;
+    the only floats are the final correctly-rounded sqrt/divide). The
+    lexical sibling of ann_topk: same retrieval question, weighted bag
+    of words instead of a dense embedding. Scale: the term self-join is
+    blocked by the inverted index (fan-out Σ_t df(t)²) — on a Zipf web
+    vocabulary pruning stop-terms via ``max_df_ratio`` bounds it. This
+    synthetic corpus draws from a ~31-term template vocabulary where
+    nearly every doc pair shares terms, so the gate-scale query keeps
+    ratio 1.0 and computes the honest near-all-pairs answer; at bench or
+    web scale the max_df knob (and DIMSUM sampling beyond it) is
+    mandatory, which is why this query stays out of bench.py."""
+    from knowledge_nexus_spark.operators.similarity import tfidf_topk_related
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk_related(docs, "doc_id", "text", k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def sql_docs_related():
+    return r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    post AS (
+      SELECT doc_id, term, CAST((tf * 1000000) // df AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (term)),
+    norms AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS norm2
+              FROM post GROUP BY 1),
+    num AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.w * b.w) AS BIGINT) AS num
+      FROM post a JOIN post b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sym AS (
+      SELECT doc_a AS did, doc_b AS neighbor, num FROM num
+      UNION ALL
+      SELECT doc_b AS did, doc_a AS neighbor, num FROM num),
+    sim AS (
+      SELECT s.did, s.neighbor,
+             CAST(s.num AS DOUBLE)
+               / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosim
+      FROM sym s JOIN norms na ON s.did = na.doc_id
+                 JOIN norms nb ON s.neighbor = nb.doc_id),
+    rk AS (
+      SELECT did, neighbor, cosim,
+             row_number() OVER (PARTITION BY did
+                                ORDER BY cosim DESC, neighbor) AS rnk
+      FROM sim)
+    SELECT did AS doc_id, neighbor, round(cosim, 6) AS sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM rk WHERE rnk <= 3 ORDER BY doc_id, rank
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_freshness_dedup": q_kg_freshness_dedup,
@@ -4183,6 +4244,7 @@ QUERIES = {
     "events_zorder": q_events_zorder,
     "kg_link_predict": q_kg_link_predict,
     "events_trailing": q_events_trailing,
+    "docs_related": q_docs_related,
 }
 
 ORACLE_SQL = {
@@ -4286,4 +4348,5 @@ ORACLE_SQL = {
     "events_zorder": sql_events_zorder(),
     "kg_link_predict": sql_kg_link_predict(),
     "events_trailing": sql_events_trailing(),
+    "docs_related": sql_docs_related(),
 }

@@ -1,0 +1,96 @@
+"""tfidf_topk_related: sparse lexical top-k vs an independent brute-force
+reference (pure-Python tf-idf cosine over the same integer weights)."""
+
+import math
+
+import pytest
+
+from knowledge_nexus_spark.operators.similarity import tfidf_topk_related
+
+DOCS = [
+    (0, "apple banana apple cherry"),
+    (1, "apple banana cherry"),
+    (2, "apple banana apple cherry"),   # exact dup of 0
+    (3, "dog cat mouse"),
+    (4, "dog cat mouse mouse"),
+    (5, "zebra unique singleton"),
+    (6, "apple dog"),                   # bridges both clusters
+]
+
+
+def _reference_topk(k=3):
+    toks = {i: t.split() for i, t in DOCS}
+    tf = {i: {} for i, _ in DOCS}
+    for i, ts in toks.items():
+        for t in ts:
+            tf[i][t] = tf[i].get(t, 0) + 1
+    df = {}
+    for i in tf:
+        for t in tf[i]:
+            df[t] = df.get(t, 0) + 1
+    w = {i: {t: (c * 1_000_000) // df[t] for t, c in tf[i].items()} for i in tf}
+    norm = {i: math.sqrt(sum(v * v for v in w[i].values())) for i in w}
+    out = {}
+    for i in w:
+        sims = []
+        for j in w:
+            if j == i:
+                continue
+            num = sum(w[i][t] * w[j].get(t, 0) for t in w[i])
+            if num == 0:
+                continue
+            sims.append((num / (norm[i] * norm[j]), j))
+        sims.sort(key=lambda p: (-p[0], p[1]))
+        out[i] = [(j, round(s, 6)) for s, j in sims[:k]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    rows = tfidf_topk_related(df, "doc_id", "text", k=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.neighbor, r.sim, r.rank))
+    for i in got:
+        got[i].sort(key=lambda p: p[2])
+    return got
+
+
+def test_matches_brute_force_reference(result):
+    want = _reference_topk()
+    assert set(result) == {i for i in want if want[i]}
+    for i, neigh in result.items():
+        assert [n for n, _, _ in neigh] == [n for n, _ in want[i]], f"doc {i}"
+        for (_, got_s, _), (_, want_s) in zip(neigh, want[i]):
+            # Spark rounds HALF_UP, Python banker's — compare pre-rounding
+            assert abs(got_s - want_s) < 1e-6, f"doc {i}"
+
+
+def test_exact_duplicate_has_cosine_one(result):
+    assert result[0][0][:2] == (2, 1.0)
+    assert result[2][0][:2] == (0, 1.0)
+
+
+def test_disjoint_vocab_never_pairs(result):
+    # doc 5 shares no term with anything -> appears nowhere
+    assert 5 not in result
+    for i, neigh in result.items():
+        assert all(n != 5 for n, _, _ in neigh)
+
+
+def test_ranks_are_dense_from_one(result):
+    for i, neigh in result.items():
+        assert [r for _, _, r in neigh] == list(range(1, len(neigh) + 1))
+
+
+def test_max_df_prunes_universal_terms(spark):
+    # every doc contains "the"; with max_df_ratio=0.5 it contributes nothing
+    docs = [(i, f"the w{i} shared") for i in range(4)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    full = tfidf_topk_related(df, "doc_id", "text", k=3)
+    pruned = tfidf_topk_related(df, "doc_id", "text", k=3, max_df_ratio=0.5)
+    # "shared" (df=4) and "the" (df=4) are pruned at 0.5 -> only unique
+    # w{i} terms remain, which pair nothing
+    assert pruned.count() == 0
+    assert full.count() > 0
