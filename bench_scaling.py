@@ -54,17 +54,44 @@ def cpu_probe(seconds: float = 1.5) -> float:
     return round(n / (time.perf_counter() - t0), 1)
 
 
+# Shared gate protocol constants (used by scripts/scaling_hunter.py and
+# scripts/gated_bench.py — single source so the two can't drift): the
+# gate is one timed 4-executor reference job over a 100k-doc corpus;
+# quiet band <= 24 s (quiet host ~15-20 s, contended 40-200 s).
+GATE_DOCS = 100_000
+GATE_QUIET_S = 24.0
+SLEEP_BETWEEN_GATES_S = 45.0
+
+
 def run_config(n_executors: int, corpus_path: str, repeats: int = 1) -> dict:
-    """One measured configuration, in a fresh subprocess/JVM."""
-    out = subprocess.run(
-        [sys.executable, __file__, "--run", str(n_executors), corpus_path, str(repeats)],
-        capture_output=True,
-        text=True,
-        timeout=3000,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    """One measured configuration, in a fresh subprocess/JVM.
+
+    Raises RuntimeError (never IndexError/JSONDecodeError) when the
+    subprocess dies, times out, or emits no result line — a multi-hour
+    unattended hunt must be able to catch ONE failed run, log it, and
+    keep hunting instead of crashing with no record."""
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--run", str(n_executors), corpus_path, str(repeats)],
+            capture_output=True,
+            text=True,
+            timeout=3000,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired as e:
+        raise RuntimeError(f"run_config({n_executors}x) timed out after {e.timeout}s")
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        tail = (out.stderr or "")[-800:]
+        raise RuntimeError(
+            f"run_config({n_executors}x) rc={out.returncode}, stderr tail: {tail}"
+        )
+    try:
+        return json.loads(lines[-1])
+    except json.JSONDecodeError:
+        raise RuntimeError(
+            f"run_config({n_executors}x) emitted no JSON result line: {lines[-1]!r}"
+        )
 
 
 def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:

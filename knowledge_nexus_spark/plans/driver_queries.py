@@ -605,10 +605,12 @@ def sql_tpch_top_orders():
 
 
 def q_tpch_region_revenue(spark, sf_dir):
-    """Star join. True dimensions (customer/nation/region — bounded or
-    sublinear in sf) are broadcast; orders is a FACT table (~1/4 of
-    lineitem) and must shuffle-join — broadcasting it OOMs at scale, so
-    the hint is deliberately absent and AQE picks the strategy."""
+    """Star join. BOUNDED dimensions (nation 25 rows / region 5 rows —
+    constant at any sf) are hint-broadcast; customer is NOT: it grows
+    linearly with sf (unbroadcastable at 100 TB), so like orders (a
+    FACT, ~1/4 of lineitem) its join strategy is left to AQE, which
+    still picks broadcast at small sf from runtime stats but degrades
+    to a shuffle join instead of an OOM at scale."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -618,7 +620,7 @@ def q_tpch_region_revenue(spark, sf_dir):
     return (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li["l_orderkey"] == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -1154,7 +1156,10 @@ def q_tpch_bloom_prune(spark, sf_dir):
         "is_member", F.lit(True)
     )
     return (
-        verdicts.join(F.broadcast(member), "l_orderkey", "left")
+        # the BLOOM bits are the broadcastable object; this exact
+        # membership list is sf-linear (it exists only to exhibit the
+        # no-false-negative property), so its join is AQE-decided
+        verdicts.join(member, "l_orderkey", "left")
         .select(
             "l_orderkey",
             "might_contain",
@@ -1279,9 +1284,10 @@ def q_tpch_q18_adapted(spark, sf_dir):
     FIRST (one partial-agg shuffle of (orderkey, qty) pairs), apply the
     HAVING threshold, and only join the tiny surviving set to orders —
     never join-then-aggregate, which would shuffle the full fact join
-    output before the filter. customer is dim-broadcast; quantity sums
-    in DECIMAL so the >250 boundary cannot float-flip cross-engine;
-    TakeOrderedAndProject caps the sort at k=20."""
+    output before the filter. customer grows linearly with sf, so its
+    join is AQE-decided (no pinned broadcast — same rationale as Q3);
+    quantity sums in DECIMAL so the >250 boundary cannot float-flip
+    cross-engine; TakeOrderedAndProject caps the sort at k=20."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
@@ -1294,7 +1300,7 @@ def q_tpch_q18_adapted(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_name",
             "o_orderkey",
@@ -1372,7 +1378,7 @@ def q_tpch_q21_adapted(spark, sf_dir):
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole.join(F.broadcast(sup), sole["l_suppkey"] == sup["s_suppkey"])
+        sole.join(sup, sole["l_suppkey"] == sup["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -1410,7 +1416,8 @@ def q_tpch_q20_adapted(spark, sf_dir):
     (Q20's 0.5*availqty guard) decorrelates into a per-part aggregate
     joined back; supplier qualification is a LEFT SEMI join (pinned in
     test_plan_shapes). All quantity math in DECIMAL — no float boundary
-    flips at the HAVING threshold. part is dim-broadcast."""
+    flips at the HAVING threshold. The 'red' part slice stays sf-linear
+    (~1/9 of part), so its join is AQE-decided, not pinned."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
@@ -1420,7 +1427,7 @@ def q_tpch_q20_adapted(spark, sf_dir):
         .select("p_partkey")
     )
     li_red = li.join(
-        F.broadcast(red), li["l_partkey"] == red["p_partkey"]
+        red, li["l_partkey"] == red["p_partkey"]
     ).select("l_suppkey", "l_partkey", "l_quantity")
 
     per_sp = li_red.groupBy("l_suppkey", "l_partkey").agg(
@@ -1794,10 +1801,15 @@ def q_tpch_q17_adapted(spark, sf_dir):
         _dec(F.col("l_quantity"), 18, 4) * 5 * F.col("cnt") < F.col("sq")
     )
     return small.agg(
-        # rounding-sweep exemption: the /7 quotient is inherently inexact,
-        # so BOTH sides round the same binary double (decimal division
-        # picks different scales per engine and would diverge instead)
-        F.round((F.sum(_dec(F.col("l_extendedprice"))) / 7).cast("double"), 2).alias(
+        # rounding-sweep exemption: the /7 quotient is inherently inexact.
+        # The EXACT decimal sum is cast to double FIRST and divided in
+        # binary on both sides — one correctly-rounded IEEE division each,
+        # identical bit-for-bit. (Dividing the DECIMAL by 7 and then
+        # casting would double-round: Spark's decimal quotient is a
+        # scale-14 HALF_UP intermediate while DuckDB's decimal '/'
+        # returns a double directly — a near-boundary quotient could
+        # flip the 2dp round between engines.)
+        F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7, 2).alias(
             "avg_yearly"
         )
     )
@@ -1809,7 +1821,7 @@ def sql_tpch_q17_adapted():
       SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq,
              count(*) AS cnt
       FROM lineitem GROUP BY l_partkey)
-    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7 AS DOUBLE), 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7, 2) AS avg_yearly
     FROM lineitem JOIN pp ON l_partkey = pk
     WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sq
     """
@@ -2075,8 +2087,10 @@ def q_tpch_q15_adapted(spark, sf_dir):
     argmax. The global max is a ONE-ROW aggregate broadcast back against
     the grouped frame — the decorrelated form of Q15's view + scalar
     subquery; equality compares the exact DECIMAL sums, so no float
-    boundary can drop or duplicate the winner. supplier is dim-broadcast;
-    at 100 TB the only full-data pass is the one grouped scan."""
+    boundary can drop or duplicate the winner. The pinned broadcast is
+    the ONE-ROW max; the supplier join is AQE-decided (supplier is
+    sf-linear, and the max-filtered left side is ~1 row anyway); at
+    100 TB the only full-data pass is the one grouped scan."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -2086,7 +2100,7 @@ def q_tpch_q15_adapted(spark, sf_dir):
     sup = _t(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), rev["r"] == mx["mx"])
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -2132,11 +2146,13 @@ def q_tpch_q16_adapted(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # part and the supplier blacklist are both sf-linear slices:
+        # AQE-decided joins (broadcast at small sf, shuffle at 100 TB)
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_brand", "p_type", "l_suppkey")
         .distinct()
         .join(
-            F.broadcast(excl),
+            excl,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -2841,8 +2857,9 @@ def q_tpch_q19_adapted(spark, sf_dir):
     (quantity BETWEEN 1 AND 30) to the fact scan, so both reach parquet
     PushedFilters BEFORE the join; the OR-of-ANDs survives only as a
     residual join filter on the already-pruned rows. Leaving the raw OR
-    on the join output would scan 100 TB of lineitem unpruned. Part is
-    a dim — hint-broadcast. Revenue math in DECIMAL (Q6 convention)."""
+    on the join output would scan 100 TB of lineitem unpruned. The
+    pruned part side stays sf-linear, so its join is AQE-decided (no
+    pinned broadcast). Revenue math in DECIMAL (Q6 convention)."""
     bands = [
         ("Brand#12", 5, 1, 11),
         ("Brand#23", 10, 10, 20),
@@ -2872,7 +2889,7 @@ def q_tpch_q19_adapted(spark, sf_dir):
         residual = cond if residual is None else (residual | cond)
     disc_price = _disc_price()
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .filter(residual)
         .agg(
             F.round(F.sum(disc_price), 2).cast("double").alias("revenue"),
@@ -2960,11 +2977,13 @@ def sql_tpch_q22_adapted():
 def q_tpch_q5_adapted(spark, sf_dir):
     """Q5-style local-supplier volume: revenue per nation where the
     customer's nation equals the supplier's nation, one region, one
-    order year. The plan discipline is DIM-SIDE co-location: both
-    nationkey lookups are broadcast dims, and the c_nationkey ==
-    s_nationkey equality is part of the JOIN condition on the second
-    dim join (never a post-join filter over the full fact cross-space).
-    orders is a fact and shuffle-joins; lineitem carries only 4 cols."""
+    order year. The plan discipline: the c_nationkey == s_nationkey
+    equality is part of the JOIN condition on the supplier join (never
+    a post-join filter over the full fact cross-space); only the
+    BOUNDED dims (nation 25 / region 5 rows) are hint-broadcast —
+    customer and supplier grow linearly with sf, so their strategy is
+    AQE-decided (broadcast at small sf, shuffle at 100 TB instead of an
+    OOM); orders is a fact and shuffle-joins; lineitem carries 4 cols."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -2985,9 +3004,9 @@ def q_tpch_q5_adapted(spark, sf_dir):
     disc_price = _disc_price()
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (F.col("c_nationkey") == supp["s_nationkey"]),
         )
@@ -3022,10 +3041,14 @@ def q_tpch_q7_adapted(spark, sf_dir):
     """Q7-style volume shipping between two nations, both directions,
     grouped by (supp nation, cust nation, ship year). The symmetric
     pair predicate is applied AFTER both single-nation IN-list prunes:
-    each dim is pre-filtered to the 2-nation set (so the broadcast
-    hash tables are 2 rows), and the disjunctive cross-pair test
-    ((A,B) or (B,A)) runs on the already-pruned join output — the
-    residual touches only rows whose both endpoints are in the set."""
+    supplier and customer are each pre-joined against the 2-ROW nation
+    slice (those nation lookups are the pinned broadcasts), shrinking
+    both to the ~2/25 of rows in the pair's nations; the pruned
+    supplier/customer joins themselves are AQE-decided (still sf-linear
+    sides — a pinned broadcast would OOM at 100 TB), and the
+    disjunctive cross-pair test ((A,B) or (B,A)) runs on the
+    already-pruned join output — the residual touches only rows whose
+    both endpoints are in the set."""
     pair = ("NATION_13", "NATION_19")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
     supp = (
@@ -3058,9 +3081,9 @@ def q_tpch_q7_adapted(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     disc_price = _disc_price()
     return (
-        li.join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        li.join(supp, li["l_suppkey"] == F.col("s_suppkey"))
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
             | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
@@ -3121,12 +3144,14 @@ def q_tpch_q8_adapted(spark, sf_dir):
     disc_price = _disc_price()
     zero = F.lit(0).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        # part/customer/supplier are sf-linear: AQE-decided joins (the
+        # pinned broadcasts are the constant-size nation/region lookups)
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(supp, li["l_suppkey"] == F.col("s_suppkey"))
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
@@ -3174,11 +3199,12 @@ def q_tpch_q9_adapted(spark, sf_dir):
     supply cost stands in as half the part retail price, the fixed
     deterministic rule both engines apply). Profit = disc revenue −
     cost×qty per (supplier nation, order year). Disciplines: the
-    LIKE '%red%' prune happens on the part DIM scan (2k rows) never on
-    the fact; the deepest join tree in the suite (5 joins) keeps every
-    dim broadcast, so the fact's only wide exchanges are the orderkey
-    join (orders is fact-sized — never broadcast) and the final
-    groupBy. All money math in DECIMAL."""
+    LIKE '%red%' prune happens on the part DIM scan never on the fact;
+    in the deepest join tree of the suite (5 joins) only the 25-row
+    nation lookup is hint-broadcast — part and supplier are sf-linear,
+    so their joins are AQE-decided (broadcast at small sf, shuffle at
+    100 TB), and orders is fact-sized and never broadcast. All money
+    math in DECIMAL."""
     part = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
@@ -3200,9 +3226,9 @@ def q_tpch_q9_adapted(spark, sf_dir):
         F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))
     ) - half_cost * _dec(F.col("l_quantity"))
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(supp, li["l_suppkey"] == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -3354,8 +3380,8 @@ def q_tpch_q14_adapted(spark, sf_dir):
     """Q14-style promo revenue share for one month: 100 × promo-part
     revenue / all revenue. Conditional-aggregation ratio in one pass
     (CASE inside the sum, decimal partials, single division on the
-    final two aggregates); part is the only dim and broadcasts; the
-    month prune reaches the lineitem scan."""
+    final two aggregates); part is sf-linear so its join is
+    AQE-decided, and the month prune reaches the lineitem scan."""
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -3367,7 +3393,7 @@ def q_tpch_q14_adapted(spark, sf_dir):
     )
     disc_price = _disc_price()
     zero = F.lit(0).cast("decimal(18,4)")
-    return li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).agg(
+    return li.join(part, li["l_partkey"] == part["p_partkey"]).agg(
         F.round(
             F.lit(100.0)
             * F.sum(
@@ -3932,13 +3958,21 @@ def q_events_zorder(spark, sf_dir):
     bits) — whole-stage codegen, zero Python, bit-identical in any
     64-bit SQL engine. `value` is scaled to integer centi-units first
     (2dp data: never an exact .5, so HALF_UP vs half-away can't split
-    the engines); both dims clip to 16 bits inside the key function,
-    and the clip is part of the contract."""
+    the engines) and SATURATED at 2^16-1 — zorder_key's own contract
+    says to pre-bound unbounded dimensions, because its modulo clip
+    would let one tail value share key ranges with low values and
+    destroy the box property. Saturation keeps the coordinate monotone:
+    the top bucket becomes the catch-all tail (still a tight box in the
+    saturated coordinate, which is what the file stats index), so the
+    box-bounding property holds for ANY value distribution, not just
+    ones that stay under 655.35."""
     from knowledge_nexus_spark.functions.zorder import zorder_key
 
     ev = _t(spark, sf_dir, "events").select(
         F.col("user_id").alias("u"),
-        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.least(
+            F.round(F.col("value") * 100).cast("bigint"), F.lit(65535)
+        ).alias("v"),
     )
     return (
         ev.withColumn("zkey", zorder_key(F.col("u"), F.col("v"), 16))
@@ -3961,9 +3995,9 @@ def sql_events_zorder():
     return f"""
     WITH base AS (
       SELECT (user_id & 65535) AS xa,
-             (CAST(round(value * 100) AS BIGINT) & 65535) AS xb,
+             (least(CAST(round(value * 100) AS BIGINT), 65535) & 65535) AS xb,
              user_id AS u,
-             CAST(round(value * 100) AS BIGINT) AS v
+             least(CAST(round(value * 100) AS BIGINT), 65535) AS v
       FROM events),
     {ctes},
     z AS (SELECT u, v, (xa | (xb << 1)) AS zkey FROM {last})

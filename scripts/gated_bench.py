@@ -22,13 +22,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench_scaling import cpu_probe, run_config  # noqa: E402
+from bench_scaling import (  # noqa: E402
+    GATE_DOCS,
+    GATE_QUIET_S,
+    SLEEP_BETWEEN_GATES_S,
+    cpu_probe,
+    run_config,
+)
 
-# gate constants mirror scripts/scaling_hunter.py (not a package — keep
-# the two in sync by hand)
-GATE_DOCS = 100_000
-GATE_QUIET_S = 24.0
-SLEEP_BETWEEN_GATES_S = 45.0
 HUNT_JSONL = os.path.join(REPO, "BENCH", "SCALING_HUNT.jsonl")
 
 
@@ -58,7 +59,13 @@ def main() -> int:
     deadline = time.time() + max_minutes * 60
     while time.time() < deadline:
         probe = cpu_probe()
-        gate = run_config(4, gate_corpus)
+        try:
+            gate = run_config(4, gate_corpus)
+        except RuntimeError as e:
+            # a crashed gate JVM must not end the unattended loop
+            _append({"kind": "bench_gate_failed", "probe": probe, "err": str(e)})
+            time.sleep(SLEEP_BETWEEN_GATES_S)
+            continue
         _append(
             {"kind": "bench_gate", "probe": probe, "wall": gate["wall_sec"],
              "tps": gate["triples_per_sec"]}

@@ -43,13 +43,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench_scaling import cpu_probe, run_config  # noqa: E402
+from bench_scaling import (  # noqa: E402
+    GATE_DOCS,
+    GATE_QUIET_S,
+    SLEEP_BETWEEN_GATES_S,
+    cpu_probe,
+    run_config,
+)
 
-GATE_DOCS = 100_000
-GATE_QUIET_S = 24.0     # quiet band ~15-20 s + margin
 N_WALL_MAX = 115.0      # quiet N walls 92-95 s + margin
 X4_WALL_MAX = 40.0      # quiet 4N walls ~30 s + margin
-SLEEP_BETWEEN_GATES_S = 45.0
 
 HUNT_JSONL = os.path.join(REPO, "BENCH", "SCALING_HUNT.jsonl")
 HUNT_MD = os.path.join(REPO, "BENCH", "SCALING_HUNT.md")
@@ -97,7 +100,14 @@ def main() -> None:
     while time.time() < deadline:
         probe = cpu_probe()
         g0 = time.time()
-        gate = run_config(4, gate_corpus)
+        try:
+            gate = run_config(4, gate_corpus)
+        except RuntimeError as e:
+            # a crashed/OOM-killed gate JVM must not end a multi-hour
+            # hunt — log it (nothing-dropped) and keep hunting
+            _append({"kind": "gate_failed", "probe": probe, "err": str(e)})
+            time.sleep(SLEEP_BETWEEN_GATES_S)
+            continue
         gates += 1
         _append({"kind": "gate", "probe": probe, "wall": gate["wall_sec"],
                  "tps": gate["triples_per_sec"]})
@@ -108,9 +118,15 @@ def main() -> None:
 
         quiet_hits += 1
         probe_n = cpu_probe()
-        low = run_config(1, corpus, repeats)
-        probe_x4 = cpu_probe()
-        high = run_config(4, corpus, repeats)
+        try:
+            low = run_config(1, corpus, repeats)
+            probe_x4 = cpu_probe()
+            high = run_config(4, corpus, repeats)
+        except RuntimeError as e:
+            _append({"kind": "pair_failed", "gate_wall": gate["wall_sec"],
+                     "err": str(e)})
+            time.sleep(SLEEP_BETWEEN_GATES_S)
+            continue
         # min-of-k wall per half when repeats > 1 (all walls logged below);
         # median == min when repeats == 1, preserving the original protocol
         n_wall = min(low["walls"])
