@@ -183,3 +183,67 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("src").alias("node"), "deg")
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) — the
+    modularity-style sibling of :func:`connected_components` (which finds
+    CONNECTIVITY classes; LPA finds DENSITY classes inside one connected
+    graph). Deterministic variant so an external SQL oracle reproduces it
+    exactly (classic LPA breaks ties randomly and is irreproducible):
+
+    - labels start as the node id;
+    - ``edges`` is symmetrized as a MULTISET (parallel edges weight the
+      vote; self-loops vote for the node's own label);
+    - each round every node adopts the most frequent label among its
+      neighbors, ties broken by SMALLEST label; nodes with no neighbors
+      keep their label;
+    - all rounds are synchronous (round k reads only round k-1 labels).
+
+    Returns (id, label BIGINT) after ``rounds`` steps.
+
+    Scale shape: per round, one narrow (src → label) join shuffled on
+    src, one (dst, label) count aggregation (partial agg absorbs hub
+    skew), then the per-node argmax as a SECOND aggregation via
+    ``max_by``-style struct ordering — max(struct(cnt, -label)) — so no
+    per-node window sort exists anywhere. ``localCheckpoint`` cuts the
+    growing lineage like the PageRank loop. No Python, no floats.
+    """
+    n = nodes.select(F.col(id_col).alias("id")).distinct()
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+
+    labels = n.withColumn("label", F.col("id").cast("long"))
+    for i in range(rounds):
+        votes = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax(cnt desc, label asc) as one aggregation: max over
+        # (cnt, -label) structs — struct comparison is lexicographic
+        winner = (
+            votes.groupBy("dst")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("w"))
+            .select(F.col("dst").alias("id"), (-F.col("w.neg")).alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, "id", "left_outer")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

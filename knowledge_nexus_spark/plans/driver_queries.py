@@ -4116,6 +4116,68 @@ def sql_kg_link_predict():
     """
 
 
+LABELPROP_ROUNDS = 3
+
+
+def q_kg_labelprop(spark, sf_dir):
+    """Deterministic synchronous label propagation (community detection)
+    over the same deterministic document link graph kg_pagerank uses —
+    the density-clustering sibling of the connectivity-clustering
+    dedup_clusters (operators/components.label_propagation). Ties break
+    to the smallest label, so after a fixed round count the labels are a
+    pure function of the graph and a SQL oracle reproduces them exactly.
+    Scale shape per round: one narrow label fan-out shuffle + a two-level
+    aggregation (vote count, then struct-max argmax) — no window sort."""
+    from knowledge_nexus_spark.operators.components import label_propagation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    n = docs.count()
+    e1 = docs.select(
+        F.col("id").alias("src"), ((F.col("id") * 31 + 7) % n).alias("dst")
+    )
+    e2 = docs.select(
+        F.col("id").alias("src"), ((F.col("id") * 17 + 3) % n).alias("dst")
+    )
+    return label_propagation(
+        docs, e1.unionByName(e2), rounds=LABELPROP_ROUNDS
+    ).orderBy("id")
+
+
+def sql_kg_labelprop():
+    # independent derivation: the oracle takes the per-node argmax with a
+    # row_number window over the vote counts (the Spark side uses a
+    # struct-max aggregation — different mechanics, same semantics)
+    layers = []
+    for i in range(1, LABELPROP_ROUNDS + 1):
+        layers.append(f"""
+    lp{i} AS (
+      SELECT p.id, COALESCE(w.new_label, p.label) AS label
+      FROM lp{i - 1} p LEFT JOIN (
+        SELECT dst AS id, label AS new_label FROM (
+          SELECT s.dst, q.label, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY s.dst
+                                    ORDER BY count(*) DESC, q.label) AS rn
+          FROM sym s JOIN lp{i - 1} q ON s.src = q.id
+          GROUP BY s.dst, q.label) t
+        WHERE rn = 1) w ON p.id = w.id)""")
+    return f"""
+    WITH nn AS (SELECT count(*) AS c FROM documents),
+    nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+    edges AS (
+      SELECT id AS src, (id * 31 + 7) % (SELECT c FROM nn) AS dst FROM nodes
+      UNION ALL
+      SELECT id AS src, (id * 17 + 3) % (SELECT c FROM nn) AS dst FROM nodes),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges),
+    lp0 AS (SELECT id, id AS label FROM nodes),{",".join(layers)}
+    SELECT id, label FROM lp{LABELPROP_ROUNDS} ORDER BY id
+    """
+
+
 def q_docs_related(spark, sf_dir):
     """Top-3 related documents per document under tf-idf cosine — the
     sparse lexical similarity join (inverted-index dot product, integer
@@ -4279,6 +4341,7 @@ QUERIES = {
     "kg_link_predict": q_kg_link_predict,
     "events_trailing": q_events_trailing,
     "docs_related": q_docs_related,
+    "kg_labelprop": q_kg_labelprop,
 }
 
 ORACLE_SQL = {
@@ -4383,4 +4446,5 @@ ORACLE_SQL = {
     "kg_link_predict": sql_kg_link_predict(),
     "events_trailing": sql_events_trailing(),
     "docs_related": sql_docs_related(),
+    "kg_labelprop": sql_kg_labelprop(),
 }
