@@ -611,3 +611,16 @@ def test_q11_benchmark_is_one_row_broadcast_and_division_free(spark):
     for sec in plan.split("Condition :")[1:]:
         head = sec.splitlines()[0] if sec.splitlines() else ""
         assert " / " not in head, f"membership test must not divide: {head}"
+
+
+def test_labelprop_argmax_has_no_window_sort(spark):
+    """label_propagation's per-node argmax is a struct-max AGGREGATION;
+    a Window/row_number plan would sort every node's vote list — the
+    shape the operator's docstring promises to avoid (the SQL oracle
+    deliberately uses the window form as the independent derivation)."""
+    from knowledge_nexus_spark.plans.driver_queries import q_kg_labelprop
+
+    plan = _plan(q_kg_labelprop(spark, SF))
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # vote count + struct-max argmax
