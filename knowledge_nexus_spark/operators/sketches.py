@@ -43,11 +43,16 @@ _ALPHA = 0.7213 / (1.0 + 1.079 / M_REGISTERS)
 _NUMERATOR = _ALPHA * M_REGISTERS * M_REGISTERS * float(1 << 53)
 
 
-def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
-    """Approximate COUNT(DISTINCT value_col) per group_col.
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """HLL register table (group_cols..., j, M) — max rho per bucket.
 
-    Returns (group_col, hll_est DOUBLE) with hll_est rounded to 4dp.
-    Deterministic: equal inputs give equal outputs in Spark and DuckDB.
+    ``group_cols`` may include PARTITION dimensions beyond the logical
+    group (e.g. a day column): registers are MERGEABLE, so per-partition
+    sketches roll up into the global sketch with ``hll_merge_registers``
+    — the 100 TB incremental pattern (sketch each new partition once,
+    merge m rows per group, never rescan history).
     """
     h = md5_hash64(F.col(value_col).cast("string"))
     bucket = F.pmod(h, F.lit(M_REGISTERS))
@@ -59,15 +64,26 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     rho = F.when(w == 0, F.lit(_RHO_BITS + 1)).otherwise(
         F.lit(_RHO_BITS + 1) - F.length(F.bin(w))
     )
-
-    regs = (
-        df.select(F.col(group_col).alias("g"), bucket.alias("j"), rho.alias("rho"))
-        .groupBy("g", "j")
+    return (
+        df.select(*group_cols, bucket.alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("M"))
     )
+
+
+def hll_merge_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables down to ``group_cols``: max(M) per bucket.
+    HLL registers form a max-semilattice, so any grouping of the input
+    (days, sources, shards) merges to the IDENTICAL global registers."""
+    return regs.groupBy(*group_cols, "j").agg(F.max("M").alias("M"))
+
+
+def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+    """Raw-HLL estimate from a register table keyed by ``group_col``.
+    Returns (group_col, hll_est DOUBLE) rounded to 4dp."""
     # Σ 2^(−M_j) carried exactly: Σ 2^(53−M_j) over observed buckets plus
     # 2^53 per empty bucket, all in long arithmetic (order-independent).
-    scaled = regs.groupBy("g").agg(
+    scaled = regs.withColumnRenamed(group_col, "g").groupBy("g").agg(
         # expr: pyspark's shiftleft() only takes a literal int shift amount
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - M)")).alias("s_obs"),
         F.count(F.lit(1)).alias("n_buckets"),
@@ -79,6 +95,16 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     return scaled.select(
         F.col("g").alias(group_col), F.round(est, 4).alias("hll_est")
     )
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT value_col) per group_col.
+
+    Returns (group_col, hll_est DOUBLE) with hll_est rounded to 4dp.
+    Deterministic: equal inputs give equal outputs in Spark and DuckDB.
+    Composition of ``hll_registers`` + ``hll_estimate`` (single-partition
+    case of the mergeable-register pipeline)."""
+    return hll_estimate(hll_registers(df, [group_col], value_col), group_col)
 
 
 CMS_DEPTH = 4  # hash rows

@@ -1117,6 +1117,32 @@ def sql_events_hll():
     return hll_distinct_sql("events", "event_type", "event_id")
 
 
+def q_events_hll_merge(spark, sf_dir):
+    """HLL sketch MERGEABILITY under the hard gate: registers built
+    independently per (event_type, day) partition, then merged with
+    max-per-bucket (operators/sketches.hll_merge_registers) and estimated.
+    Registers form a max-semilattice, so the merged estimate is BIT-EQUAL
+    to the single-pass sketch — the oracle is literally sql_events_hll().
+    This is the 100 TB incremental pattern: sketch each arriving day once
+    (m rows per group), merge sketches, never rescan history."""
+    from knowledge_nexus_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_registers(ev, ["event_type", "day"], "event_id")
+    merged = hll_merge_registers(daily, ["event_type"])
+    return hll_estimate(merged, "event_type")
+
+
+def sql_events_hll_merge():
+    # Merged daily registers == single-pass registers (max-semilattice),
+    # so the direct-sketch oracle IS the merge oracle.
+    return sql_events_hll()
+
+
 def q_events_cms(spark, sf_dir):
     """Count-min sketch frequency estimates per user (operators/sketches
     cms_build/cms_estimate — fixed md5 hashes, integer counters). The
@@ -1842,6 +1868,27 @@ def q_text_ngrams(spark, sf_dir):
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (operators/fingerprint): k=3-token
+    shingles → dual-engine md5 rolling hash → min per w=4 window →
+    per-doc digest (n_fps, fp_min, fp_max, fp_check). One doc-keyed
+    shuffle; the window min, DISTINCT, and summary agg all reuse that
+    single partitioning. Guarantee: docs sharing a >= w+k-1 token run
+    share a fingerprint (Schleimer et al., SIGMOD'03)."""
+    from knowledge_nexus_spark.operators.fingerprint import fingerprint_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_summary(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def sql_text_fingerprint():
+    from knowledge_nexus_spark.operators.fingerprint import (
+        fingerprint_summary_sql,
+    )
+
+    return fingerprint_summary_sql("documents", "doc_id", "text") + " ORDER BY doc_id"
 
 
 def sql_text_ngrams():
@@ -4276,6 +4323,8 @@ QUERIES = {
     "events_range_agg": q_events_range_agg,
     "text_quality": q_text_quality,
     "events_hll": q_events_hll,
+    "events_hll_merge": q_events_hll_merge,
+    "text_fingerprint": q_text_fingerprint,
     "events_running": q_events_running,
     "events_median": q_events_median,
     "tpch_q13_adapted": q_tpch_q13_adapted,
@@ -4383,6 +4432,8 @@ ORACLE_SQL = {
     "events_range_agg": sql_events_range_agg(),
     "text_quality": sql_text_quality(),
     "events_hll": sql_events_hll(),
+    "events_hll_merge": sql_events_hll_merge(),
+    "text_fingerprint": sql_text_fingerprint(),
     "events_running": sql_events_running(),
     "events_median": sql_events_median(),
     "tpch_q13_adapted": sql_tpch_q13_adapted(),

@@ -1,0 +1,109 @@
+"""Winnowing fingerprints (operators/fingerprint): pinned against an
+independent pure-Python reference implementation, plus the two paper
+guarantees (density, shared-run coverage). Cross-engine value equality
+is covered by the driver oracle (text_fingerprint)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from knowledge_nexus_spark.operators.fingerprint import (
+    K_SHINGLE,
+    W_WINDOW,
+    fingerprint_summary,
+    winnow_fingerprints,
+)
+
+
+def _py_md5_hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_winnow(text: str, k: int = K_SHINGLE, w: int = W_WINDOW) -> set[int]:
+    toks = text.strip().lower().split()
+    if len(toks) < k:
+        return set()
+    hashes = [
+        _py_md5_hash64(" ".join(toks[i : i + k]))
+        for i in range(len(toks) - k + 1)
+    ]
+    last_start = max(len(hashes) - w, 0)
+    return {min(hashes[i : i + w]) for i in range(last_start + 1)}
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "a b"),  # < k tokens: no fingerprints defined
+    (3, "alpha beta gamma"),  # exactly one shingle -> one fingerprint
+    (4, "one two three four five six"),  # n_sh < w -> single window
+    (5, "  Mixed   CASE    and   extra whitespace   handling here too  "),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_matches_pure_python_reference(spark, docs_df):
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(docs_df, "doc_id", "text").collect()
+    }
+    want = {(i, fp) for i, t in DOCS for fp in _py_winnow(t)}
+    assert got == want
+
+
+def test_summary_checksums(spark, docs_df):
+    rows = {
+        r["doc_id"]: r
+        for r in fingerprint_summary(docs_df, "doc_id", "text").collect()
+    }
+    assert 2 not in rows  # sub-k doc excluded
+    for i, t in DOCS:
+        fps = _py_winnow(t)
+        if not fps:
+            continue
+        assert rows[i]["n_fps"] == len(fps)
+        assert rows[i]["fp_min"] == min(fps)
+        assert rows[i]["fp_max"] == max(fps)
+        assert rows[i]["fp_check"] == sum(fp % 1_000_003 for fp in fps)
+
+
+def test_shared_run_guarantee(spark):
+    """Any two docs sharing a token run of length >= w+k-1 must share at
+    least one fingerprint (the winnowing coverage theorem)."""
+    run = " ".join(f"tok{i}" for i in range(W_WINDOW + K_SHINGLE - 1))
+    df = spark.createDataFrame(
+        [
+            (1, f"completely unrelated prefix words {run} and a suffix"),
+            (2, f"{run} different tail entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text").collect()
+    s1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    s2 = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert s1 & s2
+
+
+def test_density_bound(spark):
+    """Selected fingerprints are a sparse subset: at most the number of
+    window starts, and empirically near the 2/(w+1) expected density."""
+    text = " ".join(f"w{(i * 7919) % 5000}" for i in range(2000))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_fps = winnow_fingerprints(df, "doc_id", "text").count()
+    n_hashes = 2000 - K_SHINGLE + 1
+    assert n_fps <= n_hashes - W_WINDOW + 1
+    expected = 2.0 / (W_WINDOW + 1) * n_hashes
+    assert 0.4 * expected <= n_fps <= 2.0 * expected
+
+
+def test_single_shuffle_plan(spark, docs_df):
+    """The whole operator is ONE doc-keyed exchange: window min, DISTINCT,
+    and the summary agg all reuse HashPartitioning(doc_id)."""
+    plan = fingerprint_summary(docs_df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan

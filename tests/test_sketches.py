@@ -105,3 +105,27 @@ def test_hll_partition_invariant(spark, keyed):
     a = sorted(map(tuple, hll_distinct(df.repartition(1), "g", "v").collect()))
     b = sorted(map(tuple, hll_distinct(df.repartition(16, "v"), "g", "v").collect()))
     assert a == b
+
+
+def test_hll_merge_equals_direct(spark, keyed):
+    """Registers are a max-semilattice: sketching arbitrary partitions
+    (here: 7 hash shards) and merging max-per-bucket must give registers
+    — and therefore estimates — BIT-EQUAL to the single-pass sketch."""
+    from knowledge_nexus_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    df, _ = keyed
+    sharded = df.withColumn("shard", F.pmod(F.xxhash64("v"), F.lit(7)))
+    merged_regs = hll_merge_registers(
+        hll_registers(sharded, ["g", "shard"], "v"), ["g"]
+    )
+    direct_regs = hll_registers(df, ["g"], "v")
+    assert sorted(map(tuple, merged_regs.collect())) == sorted(
+        map(tuple, direct_regs.collect())
+    )
+    a = sorted(map(tuple, hll_estimate(merged_regs, "g").collect()))
+    b = sorted(map(tuple, hll_distinct(df, "g", "v").collect()))
+    assert a == b
