@@ -53,6 +53,7 @@ HEADLINE = [
     "media_features",
     "kg_embed",
     "dedup_substring",
+    "text_fingerprint",
 ]
 
 
