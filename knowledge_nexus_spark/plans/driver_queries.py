@@ -379,6 +379,88 @@ def sql_dedup_clusters():
     """
 
 
+def q_docs_canonical(spark, sf_dir):
+    """The dedup ENDGAME a training pipeline actually ships: near-dup
+    clusters (same closure as ``dedup_clusters``) each keep ONE canonical
+    representative — the member with the most tokens (the most complete
+    duplicate), ties broken by greatest doc_id. Ranking on the exact
+    integer token count (not the float quality score) keeps the argmax
+    bit-identical cross-engine: two members with equal quality doubles
+    could argmax-flip between Spark and DuckDB, equal token INTEGERS
+    cannot. Plan: CC mapping → one (canonical_id) partial-agg shuffle with
+    a struct-max argmax — no window sort, no join back; cluster skew is
+    bounded because count/max partially aggregate map-side."""
+    from knowledge_nexus_spark.operators.components import canonical_map
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    alias_edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    mapping = canonical_map(alias_edges, docs.select(F.col("doc_id").alias("id")))
+    members = mapping.join(
+        docs.select(
+            F.col("doc_id").alias("id"), ts.token_count(F.col("text")).alias("n_tok")
+        ),
+        "id",
+    )
+    return (
+        members.groupBy("canonical_id")
+        .agg(
+            F.max(F.struct(F.col("n_tok"), F.col("id"))).alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "canonical_id",
+            F.col("best.id").alias("keep_id"),
+            F.col("best.n_tok").alias("kept_tokens"),
+            "n_members",
+        )
+    )
+
+
+def sql_docs_canonical():
+    # Same recursive closure as sql_dedup_clusters; then keep the
+    # max-token member per cluster (ties -> greatest doc_id), counting
+    # members. Token count mirrors token_count(): 0 for blank text.
+    return """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents),
+    sizes AS (SELECT doc_id, len(t) AS s FROM toks),
+    inv AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT ia, ib FROM inter
+      JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+      WHERE CAST(c AS DOUBLE) / (sa.s + sb.s - c) >= 0.8),
+    sym AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+    mapping AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS canonical_id
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id),
+    members AS (
+      SELECT m.canonical_id, m.doc_id,
+             CASE WHEN length(trim(d.text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) END AS n_tok
+      FROM mapping m JOIN documents d ON d.doc_id = m.doc_id),
+    ranked AS (
+      SELECT canonical_id, doc_id, n_tok,
+             row_number() OVER (PARTITION BY canonical_id
+                                ORDER BY n_tok DESC, doc_id DESC) AS rn,
+             count(*) OVER (PARTITION BY canonical_id) AS n_members
+      FROM members)
+    SELECT canonical_id, doc_id AS keep_id, n_tok AS kept_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (native cosine, cross-verify)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4300,6 +4382,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "docs_canonical": q_docs_canonical,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_topk": q_ann_topk,
@@ -4411,6 +4494,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_clusters": sql_dedup_clusters(),
+    "docs_canonical": sql_docs_canonical(),
     "dedup_embedding": sql_dedup_embedding(),
     "ann_topk": sql_ann_topk(),
     "text_stats": sql_text_stats(),

@@ -104,3 +104,34 @@ def test_canonical_map_and_rewrite(spark):
     )
     rewritten = {(r.subj, r.pred, r.obj) for r in rewrite_triples(triples, mapping).collect()}
     assert rewritten == {("a", "REFERENCES", "solo"), ("solo", "CONTAINS", "a")}
+
+
+def test_docs_canonical_invariants(spark):
+    """docs_canonical (cluster -> keep best member): the kept doc is a real
+    member of its cluster with the cluster-max token count (ties -> greatest
+    doc_id), clusters partition the corpus, singletons keep themselves."""
+    from knowledge_nexus_spark.plans.driver_queries import (
+        q_dedup_clusters,
+        q_docs_canonical,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mapping = {r.doc_id: r.canonical_id for r in q_dedup_clusters(spark, sf).collect()}
+    kept = q_docs_canonical(spark, sf).collect()
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    n_tok = {
+        r.doc_id: (0 if not r.text.strip() else len(r.text.strip().lower().split()))
+        for r in docs.collect()
+    }
+
+    assert sum(r.n_members for r in kept) == len(mapping)
+    assert len(kept) == len(set(mapping.values()))
+    for r in kept:
+        members = [d for d, c in mapping.items() if c == r.canonical_id]
+        assert mapping[r.keep_id] == r.canonical_id
+        assert r.n_members == len(members)
+        best = max(n_tok[d] for d in members)
+        assert r.kept_tokens == best
+        # tie-break: greatest doc_id among the max-token members
+        assert r.keep_id == max(d for d in members if n_tok[d] == best)
