@@ -2895,8 +2895,12 @@ def q_kg_degree_hist(spark, sf_dir):
         .distinct()
     )
     edges = link_edges.unionByName(mention_edges).distinct()
-    nodes = edges.select(F.col("subj").alias("node")).unionAll(
-        edges.select(F.col("obj").alias("node"))
+    # One pass over edges: each edge contributes both endpoints. The
+    # explode form scans the (expensive, pipeline-derived) edge set ONCE
+    # in the plan itself, rather than unioning two branch copies and
+    # relying on AQE ReusedExchange to collapse them at runtime.
+    nodes = edges.select(
+        F.explode(F.array(F.col("subj"), F.col("obj"))).alias("node")
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     return (
