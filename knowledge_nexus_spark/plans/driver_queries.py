@@ -2467,6 +2467,44 @@ def sql_docs_tfidf():
     """
 
 
+def q_events_enrich(spark, sf_dir):
+    """Stream-static enrichment's batch twin, under the value gate: the
+    SAME ``enriched_events`` definition that runs as a stateless
+    streaming stream-static join (streaming/enrich.py — broadcast dim,
+    zero state store, pinned in tests/test_stream_enrich.py) executed on
+    batch input, rolled up per (segment, event_type). The dim excludes
+    suspended (negative-balance) customers, so the left_outer branch
+    carries real 'unknown' rows at every sf. Decimal sum → round →
+    double mirrors events_windowed's proven cross-engine arithmetic."""
+    from knowledge_nexus_spark.streaming.enrich import enriched_events
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        enriched_events(ev, cust)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("segment", "event_type")
+    )
+
+
+def sql_events_enrich():
+    return """
+    SELECT coalesce(c.c_mktsegment, 'unknown') AS segment,
+           e.event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(e.value AS DECIMAL(28,6))), 4) AS DOUBLE) AS sum_value
+    FROM events e LEFT JOIN customer c
+      ON e.user_id = c.c_custkey AND c.c_acctbal >= 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 def q_events_json(spark, sf_dir):
     """Semi-structured extraction: pull a typed field out of the JSON
     props column (get_json_object — JVM-side Jackson path, no Python)
@@ -4439,6 +4477,7 @@ QUERIES = {
     "docs_topk_per_lang": q_docs_topk_per_lang,
     "docs_curation": q_docs_curation,
     "docs_tfidf": q_docs_tfidf,
+    "events_enrich": q_events_enrich,
     "events_json": q_events_json,
     "events_gaps": q_events_gaps,
     "events_agg_view": q_events_agg_view,
@@ -4548,6 +4587,7 @@ ORACLE_SQL = {
     "docs_topk_per_lang": sql_docs_topk_per_lang(),
     "docs_curation": sql_docs_curation(),
     "docs_tfidf": sql_docs_tfidf(),
+    "events_enrich": sql_events_enrich(),
     "events_json": sql_events_json(),
     "events_gaps": sql_events_gaps(),
     "events_agg_view": sql_events_agg_view(),
