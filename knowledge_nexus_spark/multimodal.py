@@ -227,3 +227,91 @@ def frame_sample(features: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def interleave_media_spans(
+    flat: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Lift a flat (doc_id, text) corpus into an INTERLEAVED text+media
+    span sequence (BASELINE.json input_hint shape) with a deterministic,
+    fully native construction — every span is a pure function of the row,
+    so a SQL oracle can reproduce the expected caption pairing in closed
+    form. Layout per doc (array position = offset):
+
+      0 paragraph  substr(text, 1, 60)
+      1 image      img://<id>/a
+      2 paragraph  substr(text, 61, 60)
+      3 image      img://<id>/b           when id % 2 == 0
+        paragraph  substr(text, 121, 60)  otherwise
+      4 image      img://<id>/c           only when id % 3 == 0
+    """
+    did = F.col(id_col).cast("long")
+    t = F.col(text_col)
+    nul = F.lit(None).cast("string")
+
+    def span(kind, text, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    img = lambda suffix, off: span(  # noqa: E731
+        "image", nul, F.concat(F.lit("img://"), did.cast("string"), F.lit(suffix)), off
+    )
+    base = F.array(
+        span("paragraph", F.substring(t, 1, 60), nul, 0),
+        img("/a", 1),
+        span("paragraph", F.substring(t, 61, 60), nul, 2),
+    )
+    third = F.when(did % 2 == 0, F.array(img("/b", 3))).otherwise(
+        F.array(span("paragraph", F.substring(t, 121, 60), nul, 3))
+    )
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    fourth = F.when(did % 3 == 0, F.array(img("/c", 4))).otherwise(empty)
+    return flat.select(
+        did.cast("string").alias("doc_id"),
+        F.concat(base, third, fourth).alias("spans"),
+    )
+
+
+def caption_pairs(documents: DataFrame) -> DataFrame:
+    """Image-caption alignment over an interleaved span sequence: each
+    media span pairs with the NEAREST PRECEDING text span in its document
+    (the caption-matching step of a multimodal training-data pipeline;
+    the reference walks blocks in order and attaches context the same
+    way — /root/reference/graph_rag/processor/to_markdown_parser.py
+    renders children under their parent block).
+
+    Plan shape (pinned in tests): posexplode → ONE window over
+    (doc_id, pos) computing last(text, ignorenulls) → filter media rows.
+    A single hash Exchange on doc_id, zero joins, zero Python — at 100 TB
+    the window never materializes more than one document's spans per
+    task sort buffer. Media with no preceding text keeps a NULL caption
+    (caller decides drop-or-default)."""
+    from pyspark.sql import Window
+
+    ex = documents.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_text = F.col("s.kind") == "paragraph"
+    cap_text = F.last(F.when(is_text, F.col("s.text")), ignorenulls=True).over(w)
+    cap_pos = F.last(F.when(is_text, F.col("pos")), ignorenulls=True).over(w)
+    return (
+        ex.select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.media_ref").alias("media_ref"),
+            "pos",
+            cap_text.alias("caption"),
+            (F.col("pos") - cap_pos).cast("int").alias("caption_distance"),
+        )
+        .filter(F.col("kind").isin(*MEDIA_KINDS))
+        .drop("kind", "pos")
+    )

@@ -1715,6 +1715,55 @@ def sql_media_features():
     """
 
 
+def q_mm_captions(spark, sf_dir):
+    """Image-caption alignment over an INTERLEAVED text+media span
+    sequence — the exact input shape of BASELINE.json's input_hint
+    (doc_id, spans:array<struct<kind,text,media_ref,offset>>). The flat
+    corpus is lifted into a deterministic interleaving (every span a
+    closed-form function of the row, so the oracle reproduces the layout
+    arithmetically), then each media span is paired with the NEAREST
+    PRECEDING paragraph: posexplode → one window over (doc_id, pos) with
+    last(text, ignorenulls) → filter media rows. One hash Exchange on
+    doc_id, zero joins, zero Python — the multimodal caption-matching
+    stage of a training-data pipeline."""
+    from knowledge_nexus_spark.multimodal import (
+        caption_pairs,
+        interleave_media_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return caption_pairs(interleave_media_spans(docs))
+
+
+def sql_mm_captions():
+    # closed-form mirror of multimodal.interleave_media_spans's layout:
+    #   pos0 para substr(1,60) | pos1 img /a | pos2 para substr(61,60) |
+    #   pos3 img /b (id%2=0) else para substr(121,60) | pos4 img /c (id%3=0)
+    # nearest-preceding-paragraph captions therefore are:
+    #   /a -> substr(1,60) d=1 ; /b -> substr(61,60) d=1 ;
+    #   /c -> substr(61,60) d=2 when id%2=0 (pos3 is an image)
+    #         else substr(121,60) d=1
+    return """
+    WITH d AS (
+      SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS doc_id, text
+      FROM documents)
+    SELECT doc_id, 'img://' || doc_id || '/a' AS media_ref,
+           substr(text, 1, 60) AS caption,
+           CAST(1 AS INT) AS caption_distance
+    FROM d
+    UNION ALL
+    SELECT doc_id, 'img://' || doc_id || '/b',
+           substr(text, 61, 60), CAST(1 AS INT)
+    FROM d WHERE id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'img://' || doc_id || '/c',
+           CASE WHEN id % 2 = 0 THEN substr(text, 61, 60)
+                ELSE substr(text, 121, 60) END,
+           CAST(CASE WHEN id % 2 = 0 THEN 2 ELSE 1 END AS INT)
+    FROM d WHERE id % 3 = 0
+    """
+
+
 def q_tpch_colocated_join(spark, sf_dir):
     """Shuffle-free fact-fact join via bucketed storage: orders and
     lineitem written bucketBy(16, orderkey) + sortBy once, then joined
@@ -4517,6 +4566,7 @@ QUERIES = {
     "events_trailing": q_events_trailing,
     "docs_related": q_docs_related,
     "kg_labelprop": q_kg_labelprop,
+    "mm_captions": q_mm_captions,
 }
 
 ORACLE_SQL = {
@@ -4626,4 +4676,5 @@ ORACLE_SQL = {
     "events_trailing": sql_events_trailing(),
     "docs_related": sql_docs_related(),
     "kg_labelprop": sql_kg_labelprop(),
+    "mm_captions": sql_mm_captions(),
 }

@@ -158,3 +158,65 @@ def test_incremental_ingest_matches_batch(spark, tmp_path):
     # re-run with nothing new: idempotent
     incremental_ingest(spark, in_dir, edges_path, ck)
     assert spark.read.parquet(edges_path).count() == len(want)
+
+
+def test_caption_pairs_nearest_preceding_text(spark):
+    """caption_pairs pairs each media span with the NEAREST PRECEDING
+    paragraph; a media span with no preceding text keeps a NULL caption
+    (the one case the flat-corpus oracle can't exercise, since
+    interleave_media_spans always leads with a paragraph)."""
+    from knowledge_nexus_spark.multimodal import caption_pairs
+
+    rows = [
+        (
+            "d1",
+            [
+                {"kind": "image", "text": None, "media_ref": "m0", "offset": 0},
+                {"kind": "paragraph", "text": "alpha", "media_ref": None, "offset": 1},
+                {"kind": "image", "text": None, "media_ref": "m1", "offset": 2},
+                {"kind": "paragraph", "text": "beta", "media_ref": None, "offset": 3},
+                {"kind": "audio", "text": None, "media_ref": "m2", "offset": 4},
+                {"kind": "video", "text": None, "media_ref": "m3", "offset": 5},
+            ],
+        ),
+        ("d2", [{"kind": "paragraph", "text": "only text", "media_ref": None, "offset": 0}]),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {
+        r.media_ref: (r.caption, r.caption_distance)
+        for r in caption_pairs(docs).collect()
+    }
+    assert got == {
+        "m0": (None, None),  # leading media: no preceding text anywhere
+        "m1": ("alpha", 1),
+        "m2": ("beta", 1),
+        "m3": ("beta", 2),  # skips the intervening audio span
+    }
+
+
+def test_interleave_media_spans_matches_input_hint_schema(spark):
+    """interleave_media_spans emits exactly the BASELINE input_hint shape:
+    (doc_id:string, spans:array<struct<kind,text,media_ref,offset:int>>),
+    offsets equal to array position."""
+    from knowledge_nexus_spark.multimodal import interleave_media_spans
+
+    flat = spark.createDataFrame(
+        [(6, "x" * 200), (7, "y" * 50)], "doc_id long, text string"
+    )
+    out = interleave_media_spans(flat)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:string,spans:array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>>"
+    )
+    by_id = {r.doc_id: r.spans for r in out.collect()}
+    # id 6: %2==0 and %3==0 → para,img/a,para,img/b,img/c (5 spans)
+    kinds6 = [s.kind for s in by_id["6"]]
+    assert kinds6 == ["paragraph", "image", "paragraph", "image", "image"]
+    # id 7: odd, not %3 → para,img/a,para,para (4 spans)
+    kinds7 = [s.kind for s in by_id["7"]]
+    assert kinds7 == ["paragraph", "image", "paragraph", "paragraph"]
+    for spans in by_id.values():
+        assert [s.offset for s in spans] == list(range(len(spans)))

@@ -624,3 +624,18 @@ def test_labelprop_argmax_has_no_window_sort(spark):
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # vote count + struct-max argmax
+
+
+def test_caption_pairs_single_exchange_no_join_no_python(spark):
+    """mm_captions: posexplode + ONE window over (doc_id, pos) resolves
+    every media span's nearest preceding caption — a single hash Exchange
+    on doc_id, no join, no Python. At 100 TB the per-task sort buffer
+    holds one document's spans, never a corpus-sized structure."""
+    from knowledge_nexus_spark.plans.driver_queries import q_mm_captions
+
+    plan = _plan(q_mm_captions(spark, SF))
+    # formatted mode: one Exchange node, its arguments hash-partition on doc_id
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("hashpartitioning(doc_id") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
