@@ -1764,6 +1764,65 @@ def sql_mm_captions():
     """
 
 
+def q_kg_media_entities(spark, sf_dir):
+    """Multimodal KG construction end-to-end over the interleaved span
+    sequence: caption alignment (nearest preceding paragraph per media
+    span) → gazetteer mention detection inside the caption → distinct
+    (media_ref, MENTIONS, entity) edges linking media nodes to entities.
+    This is the media half of the reference's mention→entity step
+    (graph_rag/processor handles text blocks; media inherit their
+    caption's context). Plan: one doc-keyed window (caption_pairs) +
+    explode + literal IN filter + distinct — two Exchanges total, the
+    mention filter prunes before the distinct shuffle."""
+    from knowledge_nexus_spark.multimodal import (
+        caption_pairs,
+        interleave_media_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    caps = caption_pairs(interleave_media_spans(docs))
+    toks = caps.select(
+        "media_ref",
+        F.explode(F.split(F.lower(F.trim("caption")), r"\s+")).alias("tok"),
+    )
+    return (
+        toks.filter(F.col("tok").isin(GAZETTEER))
+        .select(
+            F.col("media_ref").alias("subj"),
+            F.lit("MENTIONS").alias("pred"),
+            F.col("tok").alias("obj"),
+        )
+        .distinct()
+    )
+
+
+def sql_kg_media_entities():
+    # captions in closed form (see sql_mm_captions), then the same
+    # tokenize + gazetteer filter as sql_kg_gazetteer_mentions
+    quoted = ", ".join(f"'{g}'" for g in GAZETTEER)
+    return f"""
+    WITH d AS (
+      SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS doc_id, text
+      FROM documents),
+    caps AS (
+      SELECT 'img://' || doc_id || '/a' AS media_ref,
+             substr(text, 1, 60) AS caption FROM d
+      UNION ALL
+      SELECT 'img://' || doc_id || '/b', substr(text, 61, 60)
+      FROM d WHERE id % 2 = 0
+      UNION ALL
+      SELECT 'img://' || doc_id || '/c',
+             CASE WHEN id % 2 = 0 THEN substr(text, 61, 60)
+                  ELSE substr(text, 121, 60) END
+      FROM d WHERE id % 3 = 0)
+    SELECT DISTINCT media_ref AS subj, 'MENTIONS' AS pred, tok AS obj FROM (
+      SELECT media_ref,
+             unnest(regexp_split_to_array(lower(trim(caption)), '\\s+')) AS tok
+      FROM caps)
+    WHERE tok IN ({quoted})
+    """
+
+
 def q_tpch_colocated_join(spark, sf_dir):
     """Shuffle-free fact-fact join via bucketed storage: orders and
     lineitem written bucketBy(16, orderkey) + sortBy once, then joined
@@ -4567,6 +4626,7 @@ QUERIES = {
     "docs_related": q_docs_related,
     "kg_labelprop": q_kg_labelprop,
     "mm_captions": q_mm_captions,
+    "kg_media_entities": q_kg_media_entities,
 }
 
 ORACLE_SQL = {
@@ -4677,4 +4737,5 @@ ORACLE_SQL = {
     "docs_related": sql_docs_related(),
     "kg_labelprop": sql_kg_labelprop(),
     "mm_captions": sql_mm_captions(),
+    "kg_media_entities": sql_kg_media_entities(),
 }

@@ -220,3 +220,37 @@ def test_interleave_media_spans_matches_input_hint_schema(spark):
     assert kinds7 == ["paragraph", "image", "paragraph", "paragraph"]
     for spans in by_id.values():
         assert [s.offset for s in spans] == list(range(len(spans)))
+
+
+def test_kg_media_entities_links_media_to_caption_mentions(spark):
+    """kg_media_entities: a media span acquires MENTIONS edges only for
+    gazetteer terms inside ITS caption (the nearest preceding paragraph),
+    never from elsewhere in the document."""
+    from knowledge_nexus_spark.multimodal import caption_pairs
+    from knowledge_nexus_spark.plans.driver_queries import GAZETTEER
+
+    assert "spark" in GAZETTEER and "join" in GAZETTEER
+    rows = [
+        (
+            "d1",
+            [
+                {"kind": "paragraph", "text": "spark join here", "media_ref": None, "offset": 0},
+                {"kind": "image", "text": None, "media_ref": "m1", "offset": 1},
+                {"kind": "paragraph", "text": "merge elsewhere", "media_ref": None, "offset": 2},
+                {"kind": "image", "text": None, "media_ref": "m2", "offset": 3},
+            ],
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    caps = caption_pairs(docs)
+    from pyspark.sql import functions as FF
+
+    toks = caps.select(
+        "media_ref",
+        FF.explode(FF.split(FF.lower(FF.trim("caption")), r"\s+")).alias("tok"),
+    ).filter(FF.col("tok").isin(GAZETTEER))
+    got = {(r.media_ref, r.tok) for r in toks.collect()}
+    assert got == {("m1", "spark"), ("m1", "join"), ("m2", "merge")}
