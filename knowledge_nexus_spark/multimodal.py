@@ -278,7 +278,7 @@ def interleave_media_spans(
     )
 
 
-def caption_pairs(documents: DataFrame) -> DataFrame:
+def caption_pairs(documents: DataFrame, keep_kind: bool = False) -> DataFrame:
     """Image-caption alignment over an interleaved span sequence: each
     media span pairs with the NEAREST PRECEDING text span in its document
     (the caption-matching step of a multimodal training-data pipeline;
@@ -291,7 +291,11 @@ def caption_pairs(documents: DataFrame) -> DataFrame:
     A single hash Exchange on doc_id, zero joins, zero Python — at 100 TB
     the window never materializes more than one document's spans per
     task sort buffer. Media with no preceding text keeps a NULL caption
-    (caller decides drop-or-default)."""
+    (caller decides drop-or-default).
+
+    ``keep_kind=True`` additionally carries the media span's kind column
+    (the pipeline's media stage needs it for node typing; the driver
+    query keeps the 4-column contract)."""
     from pyspark.sql import Window
 
     ex = documents.select("doc_id", F.posexplode("spans").alias("pos", "s"))
@@ -303,7 +307,7 @@ def caption_pairs(documents: DataFrame) -> DataFrame:
     is_text = F.col("s.kind") == "paragraph"
     cap_text = F.last(F.when(is_text, F.col("s.text")), ignorenulls=True).over(w)
     cap_pos = F.last(F.when(is_text, F.col("pos")), ignorenulls=True).over(w)
-    return (
+    out = (
         ex.select(
             "doc_id",
             F.col("s.kind").alias("kind"),
@@ -313,5 +317,48 @@ def caption_pairs(documents: DataFrame) -> DataFrame:
             (F.col("pos") - cap_pos).cast("int").alias("caption_distance"),
         )
         .filter(F.col("kind").isin(*MEDIA_KINDS))
-        .drop("kind", "pos")
+        .drop("pos")
     )
+    return out if keep_kind else out.drop("kind")
+
+
+def media_graph(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Media assets as first-class KG citizens over the interleaved span
+    sequence: (media nodes, HAS_MEDIA edges).
+
+    The reference materializes bookmark blocks as their own nodes
+    (notion_provider.py:288-296); media blocks get the same treatment
+    here, with the caption (nearest preceding paragraph, see
+    ``caption_pairs``) riding as edge context — the media half of KG
+    construction over interleaved text+media documents.
+
+    Determinism under re-partitioning: a media_ref appearing many times
+    aggregates with min() (kind for the node type, caption for the edge
+    context) — never first()/dropDuplicates, which are partition-order
+    dependent. Scale: one doc-keyed window (caption_pairs) plus one
+    groupBy per output — the node groupBy shuffles only the distinct
+    (media_ref, kind) pairs, the edge groupBy only (doc, ref, caption)."""
+    caps = caption_pairs(documents, keep_kind=True)
+    nodes = (
+        caps.groupBy("media_ref")
+        .agg(F.min("kind").alias("kind"))
+        .select(
+            F.col("media_ref").alias("id"),
+            F.concat(F.lit("Media "), F.substring(F.md5("media_ref"), 1, 8)).alias(
+                "title"
+            ),
+            F.initcap("kind").alias("type"),
+            F.col("media_ref").alias("url"),
+            F.lit(None).cast("string").alias("content"),
+            F.lit("Media").alias("source"),
+            F.lit(None).cast("string").alias("last_edited_time"),
+        )
+    )
+    edges = (
+        caps.groupBy(
+            F.col("doc_id").alias("subj"), F.col("media_ref").alias("obj")
+        )
+        .agg(F.min("caption").alias("context"))
+        .select("subj", F.lit("HAS_MEDIA").alias("pred"), "obj", "context")
+    )
+    return nodes, edges

@@ -50,6 +50,11 @@ class PipelineConfig:
     chunk_overlap: int = 20  # config.yaml:51 overlap, scaled proportionally
     with_chunks: bool = True  # stage 3 (chunk + embed + HAS_CHUNK edges)
     with_linking: bool = False  # stage 4 (J10 mention→entity LINKS_TO edges)
+    # media stage: caption-aligned media nodes + HAS_MEDIA edges from the
+    # interleaved span sequence (multimodal.media_graph). Off by default —
+    # text-only corpora produce zero media spans either way, but the stage
+    # still costs a second scan of the wide spans column.
+    with_media: bool = False
     canonicalize: bool = False  # stage 5 (G3 alias connected components)
     link_min_cosine: float = 0.6
     alias_min_cosine: float = 0.95  # entity-entity merge confidence
@@ -154,9 +159,13 @@ def build_graph(
         # extract branches.
         from knowledge_nexus_spark.functions.extract import normalize_uuid_col
 
-        combined = fused_docs_projection(
-            freshness_dedup(documents, few_dups=cfg.dedup_few_dups), cfg
-        )
+        deduped = freshness_dedup(documents, few_dups=cfg.dedup_few_dups)
+        if cfg.with_media and cfg.persist_intermediate:
+            # the media branch re-scans the wide spans column; persisting
+            # the deduped frame keeps the dedup window (the plan's widest
+            # shuffle) from running twice. MEMORY_AND_DISK — spans spill.
+            deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+        combined = fused_docs_projection(deduped, cfg)
         if cfg.persist_intermediate:
             combined = combined.persist(StorageLevel.MEMORY_AND_DISK)
         docs = combined  # header columns preserved; spans intentionally gone
@@ -222,6 +231,16 @@ def build_graph(
         triples_raw = triples_raw.persist(StorageLevel.MEMORY_AND_DISK)
     all_nodes = nodes.unionByName(bookmark_nodes(burl_frame))
 
+    media_edges = None
+    if cfg.with_media:
+        from knowledge_nexus_spark.multimodal import media_graph
+
+        span_docs = (
+            deduped if (cfg.native_extract and cfg.native_render) else docs
+        )
+        media_nodes, media_edges = media_graph(span_docs)
+        all_nodes = all_nodes.unionByName(media_nodes)
+
     if cfg.create_unprocessed:
         all_nodes = add_missing_nodes(triples_raw, all_nodes)
         kept = triples_raw
@@ -229,6 +248,13 @@ def build_graph(
         kept = clean_orphans(triples_raw, all_nodes, cfg.skew_hot_min_count)
 
     edges = distinct_triples(kept)
+    if media_edges is not None:
+        # HAS_MEDIA pairs are distinct by construction (media_graph
+        # aggregates per (doc, ref)) — no second distinct shuffle needed;
+        # same NULL-context convention as distinct_triples ('' not NULL)
+        edges = edges.unionByName(
+            media_edges.withColumn("context", F.coalesce(F.col("context"), F.lit("")))
+        )
     return GraphResult(
         nodes=all_nodes, edges=edges, triples_raw=triples_raw, documents=docs
     )
@@ -306,6 +332,22 @@ def run_pipeline(
             F.col("mention").alias("context"),
         )
         extra_edges = link_edges if extra_edges is None else extra_edges.unionByName(link_edges)
+
+    if cfg.with_media:
+        from knowledge_nexus_spark.multimodal import media_graph
+
+        def _media():
+            _, m_edges = media_graph(docs)
+            return m_edges.withColumn(
+                "context", F.coalesce(F.col("context"), F.lit(""))
+            )
+
+        media_edges = ck.load_or_compute("s7_media", _media)
+        extra_edges = (
+            media_edges
+            if extra_edges is None
+            else extra_edges.unionByName(media_edges)
+        )
 
     def _edges():
         base = triples_raw

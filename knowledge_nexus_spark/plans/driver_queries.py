@@ -68,6 +68,44 @@ def sql_kg_pipeline_triples():
     """
 
 
+def q_kg_pipeline_media(spark, sf_dir):
+    """The KG pipeline end-to-end over an INTERLEAVED text+media corpus
+    (the north-rule input shape): the flat connector interleaves
+    deterministic image spans, build_graph(with_media=True) runs caption
+    alignment → media nodes + HAS_MEDIA edges alongside the usual
+    extract → orphan clean → MERGE-distinct. The oracle reproduces both
+    the link rules AND the media layout in closed form; media spans emit
+    no extraction triples, so CONTAINS/REFERENCES stay bit-identical to
+    kg_pipeline_triples."""
+    flat = _t(spark, sf_dir, "documents")
+    docs = flat_docs_to_span_docs(flat, with_media=True)
+    res = build_graph(
+        spark, docs, PipelineConfig(render_content=False, with_media=True)
+    )
+    return res.edges.select("subj", "pred", "obj").distinct()
+
+
+def sql_kg_pipeline_media():
+    return """
+    WITH n AS (SELECT count(*) AS c FROM documents)
+    SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj, 'CONTAINS' AS pred,
+           CAST((doc_id*31+7) % (SELECT c FROM n) AS VARCHAR) AS obj
+    FROM documents
+    UNION
+    SELECT DISTINCT CAST(doc_id AS VARCHAR), 'REFERENCES',
+           CAST((doc_id*17+3) % (SELECT c FROM n) AS VARCHAR)
+    FROM documents
+    UNION
+    SELECT CAST(doc_id AS VARCHAR), 'HAS_MEDIA',
+           'img://' || CAST(doc_id AS VARCHAR) || '/a'
+    FROM documents
+    UNION
+    SELECT CAST(doc_id AS VARCHAR), 'HAS_MEDIA',
+           'img://' || CAST(doc_id AS VARCHAR) || '/b'
+    FROM documents WHERE doc_id % 2 = 0
+    """
+
+
 def q_kg_freshness_dedup(spark, sf_dir):
     """A5 last-writer-wins over the events stream keyed by user."""
     ev = _t(spark, sf_dir, "events")
@@ -4627,6 +4665,7 @@ QUERIES = {
     "kg_labelprop": q_kg_labelprop,
     "mm_captions": q_mm_captions,
     "kg_media_entities": q_kg_media_entities,
+    "kg_pipeline_media": q_kg_pipeline_media,
 }
 
 ORACLE_SQL = {
@@ -4738,4 +4777,5 @@ ORACLE_SQL = {
     "kg_labelprop": sql_kg_labelprop(),
     "mm_captions": sql_mm_captions(),
     "kg_media_entities": sql_kg_media_entities(),
+    "kg_pipeline_media": sql_kg_pipeline_media(),
 }

@@ -32,8 +32,21 @@ def references_target(doc_id_col, n_docs_col):
     return F.pmod(doc_id_col * 17 + 3, n_docs_col)
 
 
-def flat_docs_to_span_docs(flat: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """flat(doc_id, text, ...) → engine documents schema."""
+def flat_docs_to_span_docs(
+    flat: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_media: bool = False,
+) -> DataFrame:
+    """flat(doc_id, text, ...) → engine documents schema.
+
+    ``with_media=True`` interleaves deterministic media spans into the
+    sequence (an ``image`` right after the paragraph, a second one
+    appended for even ids) so the full multimodal pipeline — caption
+    alignment, media nodes, HAS_MEDIA edges — exercises the
+    BASELINE.json input shape from a flat corpus. Media kinds emit no
+    extraction triples (functions/extract.span_triples_expr has no media
+    arm), so the CONTAINS/REFERENCES output is bit-identical either way."""
     n = flat.count()
     did = F.col(id_col).cast("long")
     span = lambda kind, text, ref: F.struct(  # noqa: E731
@@ -42,6 +55,37 @@ def flat_docs_to_span_docs(flat: DataFrame, id_col: str = "doc_id", text_col: st
         (ref if ref is not None else F.lit(None).cast("string")).alias("media_ref"),
         F.lit(0).alias("offset"),
     )
+    base = [
+        span("paragraph", F.col(text_col), None),
+    ]
+    if with_media:
+        base.append(
+            span(
+                "image",
+                None,
+                F.concat(F.lit("img://"), did.cast("string"), F.lit("/a")),
+            )
+        )
+    base += [
+        span("child_page", F.lit("Child"), contains_target(did, F.lit(n)).cast("string")),
+        span("link_to_page", None, references_target(did, F.lit(n)).cast("string")),
+    ]
+    spans = F.array(*base)
+    if with_media:
+        empty = F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        )
+        tail = F.when(
+            did % 2 == 0,
+            F.array(
+                span(
+                    "image",
+                    None,
+                    F.concat(F.lit("img://"), did.cast("string"), F.lit("/b")),
+                )
+            ),
+        ).otherwise(empty)
+        spans = F.concat(spans, tail)
     return flat.select(
         did.cast("string").alias("doc_id"),
         F.concat(F.lit("Doc "), did.cast("string")).alias("title"),
@@ -50,9 +94,5 @@ def flat_docs_to_span_docs(flat: DataFrame, id_col: str = "doc_id", text_col: st
         F.lit(False).alias("archived"),
         F.lit(False).alias("in_trash"),
         F.lit("2024-01-01T00:00:00.000000Z").alias("last_edited_time"),
-        F.array(
-            span("paragraph", F.col(text_col), None),
-            span("child_page", F.lit("Child"), contains_target(did, F.lit(n)).cast("string")),
-            span("link_to_page", None, references_target(did, F.lit(n)).cast("string")),
-        ).alias("spans"),
+        spans.alias("spans"),
     )

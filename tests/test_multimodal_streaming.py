@@ -254,3 +254,75 @@ def test_kg_media_entities_links_media_to_caption_mentions(spark):
     ).filter(FF.col("tok").isin(GAZETTEER))
     got = {(r.media_ref, r.tok) for r in toks.collect()}
     assert got == {("m1", "spark"), ("m1", "join"), ("m2", "merge")}
+
+
+def test_build_graph_with_media_stage(spark):
+    """with_media=True: media nodes (typed, deterministic titles) and
+    HAS_MEDIA edges (caption context) join the graph; the non-media edge
+    set is bit-identical to a with_media=False run; doubling the corpus
+    does not change the distinct edge set."""
+    from pyspark.sql import functions as FF
+
+    from knowledge_nexus_spark.pipeline import PipelineConfig, build_graph
+
+    docs = generate_documents(spark, CFG)
+    base = build_graph(spark, docs, PipelineConfig(render_content=False))
+    res = build_graph(
+        spark, docs, PipelineConfig(render_content=False, with_media=True)
+    )
+
+    media_edges = res.edges.filter("pred = 'HAS_MEDIA'")
+    n_media = media_edges.count()
+    assert n_media > 0
+    # one edge per distinct (doc, media_ref) pair in the corpus
+    expected = (
+        docs.select("doc_id", FF.explode("spans").alias("s"))
+        .filter(FF.col("s.kind").isin("image", "video", "audio", "file", "pdf"))
+        .select("doc_id", "s.media_ref")
+        .distinct()
+        .count()
+    )
+    assert n_media == expected
+
+    # media nodes exist, typed from the span kind, with stable ids
+    media_nodes = res.nodes.filter("source = 'Media'")
+    assert media_nodes.count() == media_edges.select("obj").distinct().count()
+    t = {r.type for r in media_nodes.select("type").distinct().collect()}
+    assert t <= {"Image", "Video", "Audio", "File", "Pdf"}
+
+    # non-media edges unchanged vs the default pipeline
+    nm = res.edges.filter("pred <> 'HAS_MEDIA'").select("subj", "pred", "obj")
+    assert nm.exceptAll(base.edges.select("subj", "pred", "obj")).count() == 0
+    assert base.edges.select("subj", "pred", "obj").exceptAll(nm).count() == 0
+
+    # idempotent under a doubled corpus (distinct edge semantics)
+    doubled = build_graph(
+        spark,
+        docs.unionByName(docs),
+        PipelineConfig(render_content=False, with_media=True),
+    )
+    assert doubled.edges.count() == res.edges.count()
+    base.unpersist()
+    res.unpersist()
+    doubled.unpersist()
+
+
+def test_run_pipeline_media_stage_checkpoints_and_resumes(spark, tmp_path):
+    """s7_media is a committed snapshot: a rerun resumes it instead of
+    recomputing, and the media edges survive into s6_edges."""
+    import os
+
+    from knowledge_nexus_spark.pipeline import PipelineConfig, run_pipeline
+
+    docs = generate_documents(spark, CFG)
+    wd = str(tmp_path)
+    cfg = PipelineConfig(with_chunks=False, with_media=True, render_content=False)
+    _, _, edges, _ = run_pipeline(spark, docs, wd, cfg)
+    n_media = edges.filter("pred = 'HAS_MEDIA'").count()
+    assert n_media > 0
+    meta = os.path.join(wd, "s7_media", "_STAGE_META.json")
+    assert os.path.exists(meta)
+    before = os.path.getmtime(meta)
+    _, _, edges2, _ = run_pipeline(spark, docs, wd, cfg)
+    assert os.path.getmtime(meta) == before  # resumed, not recomputed
+    assert edges2.filter("pred = 'HAS_MEDIA'").count() == n_media
