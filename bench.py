@@ -54,6 +54,9 @@ HEADLINE = [
     "kg_embed",
     "dedup_substring",
     "text_fingerprint",
+    # round-4 multimodal/interleaved axis
+    "mm_captions",
+    "kg_pipeline_media",
 ]
 
 

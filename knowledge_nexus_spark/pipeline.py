@@ -232,6 +232,7 @@ def build_graph(
     all_nodes = nodes.unionByName(bookmark_nodes(burl_frame))
 
     media_edges = None
+    media_nodes = None
     if cfg.with_media:
         from knowledge_nexus_spark.multimodal import media_graph
 
@@ -239,13 +240,18 @@ def build_graph(
             deduped if (cfg.native_extract and cfg.native_render) else docs
         )
         media_nodes, media_edges = media_graph(span_docs)
-        all_nodes = all_nodes.unionByName(media_nodes)
 
     if cfg.create_unprocessed:
         all_nodes = add_missing_nodes(triples_raw, all_nodes)
         kept = triples_raw
     else:
         kept = clean_orphans(triples_raw, all_nodes, cfg.skew_hot_min_count)
+
+    if media_nodes is not None:
+        # unioned AFTER orphan cleaning: media refs are never triple
+        # endpoints (extraction has no media arm), so shipping them into
+        # the endpoint semi-joins would only widen the build side
+        all_nodes = all_nodes.unionByName(media_nodes)
 
     edges = distinct_triples(kept)
     if media_edges is not None:
