@@ -322,6 +322,53 @@ def caption_pairs(documents: DataFrame, keep_kind: bool = False) -> DataFrame:
     return out if keep_kind else out.drop("kind")
 
 
+def caption_pairs_native(
+    documents: DataFrame, keep_kind: bool = False
+) -> DataFrame:
+    """Zero-shuffle sibling of ``caption_pairs``: the caption of a media
+    span depends only on ITS OWN document's spans array, so it is a pure
+    per-row expression — index the array, filter to media positions, and
+    for each take the last preceding paragraph via slice + filter +
+    element_at(-1). No Exchange at all: embarrassingly parallel over
+    document splits, the plan is scan → project → generate.
+
+    Regime note: the prefix scan makes this O(spans²) per document worst
+    case vs the window version's O(spans log spans) — for interleaved
+    documents (tens of spans) the quadratic term is noise and saving the
+    doc-keyed shuffle dominates; for pathological thousand-span documents
+    prefer ``caption_pairs``. Both produce identical rows (equality
+    pinned in tests)."""
+    spans = F.col("spans")
+    idx = F.transform(
+        spans, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+    )
+    media = F.filter(idx, lambda p: p["s"]["kind"].isin(*MEDIA_KINDS))
+
+    def cap(p):
+        texts = F.filter(
+            F.slice(idx, F.lit(1), p["i"]),
+            lambda q: q["s"]["kind"] == F.lit("paragraph"),
+        )
+        last = F.try_element_at(texts, F.lit(-1))  # NULL when no preceding text
+        return F.struct(
+            p["s"]["kind"].alias("kind"),
+            p["s"]["media_ref"].alias("media_ref"),
+            last["s"]["text"].alias("caption"),
+            (p["i"] - last["i"]).cast("int").alias("caption_distance"),
+        )
+
+    out = documents.select(
+        "doc_id", F.explode(F.transform(media, cap)).alias("c")
+    ).select(
+        "doc_id",
+        "c.kind",
+        "c.media_ref",
+        "c.caption",
+        "c.caption_distance",
+    )
+    return out if keep_kind else out.drop("kind")
+
+
 def media_graph(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Media assets as first-class KG citizens over the interleaved span
     sequence: (media nodes, HAS_MEDIA edges).
@@ -335,10 +382,11 @@ def media_graph(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
     Determinism under re-partitioning: a media_ref appearing many times
     aggregates with min() (kind for the node type, caption for the edge
     context) — never first()/dropDuplicates, which are partition-order
-    dependent. Scale: one doc-keyed window (caption_pairs) plus one
-    groupBy per output — the node groupBy shuffles only the distinct
-    (media_ref, kind) pairs, the edge groupBy only (doc, ref, caption)."""
-    caps = caption_pairs(documents, keep_kind=True)
+    dependent. Scale: caption alignment is the zero-shuffle per-row
+    expression (caption_pairs_native) plus one groupBy per output — the
+    node groupBy shuffles only the distinct (media_ref, kind) pairs, the
+    edge groupBy only (doc, ref, caption)."""
+    caps = caption_pairs_native(documents, keep_kind=True)
     nodes = (
         caps.groupBy("media_ref")
         .agg(F.min("kind").alias("kind"))

@@ -1760,17 +1760,18 @@ def q_mm_captions(spark, sf_dir):
     corpus is lifted into a deterministic interleaving (every span a
     closed-form function of the row, so the oracle reproduces the layout
     arithmetically), then each media span is paired with the NEAREST
-    PRECEDING paragraph: posexplode → one window over (doc_id, pos) with
-    last(text, ignorenulls) → filter media rows. One hash Exchange on
-    doc_id, zero joins, zero Python — the multimodal caption-matching
-    stage of a training-data pipeline."""
+    PRECEDING paragraph — a pure per-row array expression (slice +
+    filter + try_element_at over the indexed spans), so the plan is
+    scan → project → generate: ZERO Exchanges, zero joins, zero Python.
+    The doc-keyed window sibling (caption_pairs) handles pathological
+    thousand-span documents; row equality is pinned in tests."""
     from knowledge_nexus_spark.multimodal import (
-        caption_pairs,
+        caption_pairs_native,
         interleave_media_spans,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return caption_pairs(interleave_media_spans(docs))
+    return caption_pairs_native(interleave_media_spans(docs))
 
 
 def sql_mm_captions():
@@ -1809,16 +1810,16 @@ def q_kg_media_entities(spark, sf_dir):
     (media_ref, MENTIONS, entity) edges linking media nodes to entities.
     This is the media half of the reference's mention→entity step
     (graph_rag/processor handles text blocks; media inherit their
-    caption's context). Plan: one doc-keyed window (caption_pairs) +
-    explode + literal IN filter + distinct — two Exchanges total, the
-    mention filter prunes before the distinct shuffle."""
+    caption's context). Plan: zero-shuffle caption expression
+    (caption_pairs_native) + explode + literal IN filter + distinct —
+    ONE Exchange total, the mention filter prunes before it."""
     from knowledge_nexus_spark.multimodal import (
-        caption_pairs,
+        caption_pairs_native,
         interleave_media_spans,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    caps = caption_pairs(interleave_media_spans(docs))
+    caps = caption_pairs_native(interleave_media_spans(docs))
     toks = caps.select(
         "media_ref",
         F.explode(F.split(F.lower(F.trim("caption")), r"\s+")).alias("tok"),

@@ -326,3 +326,34 @@ def test_run_pipeline_media_stage_checkpoints_and_resumes(spark, tmp_path):
     _, _, edges2, _ = run_pipeline(spark, docs, wd, cfg)
     assert os.path.getmtime(meta) == before  # resumed, not recomputed
     assert edges2.filter("pred = 'HAS_MEDIA'").count() == n_media
+
+
+def test_caption_pairs_native_equals_window_variant(spark):
+    """caption_pairs_native (zero-shuffle expression) and caption_pairs
+    (doc-keyed window) produce identical rows — on the generated span
+    corpus AND on the leading-media edge case (NULL caption)."""
+    from knowledge_nexus_spark.multimodal import caption_pairs, caption_pairs_native
+
+    docs = generate_documents(spark, CFG)
+    a, b = caption_pairs(docs, keep_kind=True), caption_pairs_native(docs, keep_kind=True)
+    assert a.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    edge = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    {"kind": "image", "text": None, "media_ref": "m0", "offset": 0},
+                    {"kind": "paragraph", "text": "alpha", "media_ref": None, "offset": 1},
+                    {"kind": "video", "text": None, "media_ref": "m1", "offset": 2},
+                ],
+            )
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {
+        r.media_ref: (r.caption, r.caption_distance)
+        for r in caption_pairs_native(edge).collect()
+    }
+    assert got == {"m0": (None, None), "m1": ("alpha", 1)}

@@ -626,15 +626,33 @@ def test_labelprop_argmax_has_no_window_sort(spark):
     assert plan.count("HashAggregate") >= 2  # vote count + struct-max argmax
 
 
-def test_caption_pairs_single_exchange_no_join_no_python(spark):
-    """mm_captions: posexplode + ONE window over (doc_id, pos) resolves
-    every media span's nearest preceding caption — a single hash Exchange
-    on doc_id, no join, no Python. At 100 TB the per-task sort buffer
-    holds one document's spans, never a corpus-sized structure."""
+def test_caption_pairs_native_zero_exchange_no_join_no_python(spark):
+    """mm_captions (caption_pairs_native): the caption of a media span is
+    a pure function of its own document's spans array, so the plan is
+    scan → project → generate — ZERO Exchanges, no window, no join, no
+    Python. Embarrassingly parallel over document splits at 100 TB."""
     from knowledge_nexus_spark.plans.driver_queries import q_mm_captions
 
     plan = _plan(q_mm_captions(spark, SF))
-    # formatted mode: one Exchange node, its arguments hash-partition on doc_id
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_caption_pairs_window_sibling_single_exchange(spark):
+    """caption_pairs (the window sibling for thousand-span documents):
+    posexplode + ONE window over (doc_id, pos) — a single hash Exchange
+    on doc_id. The per-task sort buffer holds one document's spans."""
+    from knowledge_nexus_spark.multimodal import (
+        caption_pairs,
+        interleave_media_spans,
+    )
+
+    docs = interleave_media_spans(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    plan = _plan(caption_pairs(docs))
     assert plan.count("+- Exchange") == 1
     assert plan.count("hashpartitioning(doc_id") == 1
     assert "Join" not in plan
