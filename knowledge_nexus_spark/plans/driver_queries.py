@@ -106,6 +106,63 @@ def sql_kg_pipeline_media():
     """
 
 
+def q_kg_span_integrity(spark, sf_dir):
+    """The input_hint's per-row invariant under the hard gate:
+    span-sequence equality (kind, text, media_ref, ORDER). Each
+    document's span sequence is serialized canonically — one
+    'kind|text|media_ref' segment per element, in array order, RS-joined
+    — and md5-digested; the oracle recomputes the digest from the
+    closed-form interleaving. Any reordering, dropped span, or mutated
+    field anywhere in the lift path flips the hash. Pure per-row
+    expression: zero Exchanges."""
+    docs = flat_docs_to_span_docs(
+        _t(spark, sf_dir, "documents"), with_media=True
+    )
+    nul = F.lit("\\N")
+    ser = F.array_join(
+        F.transform(
+            F.col("spans"),
+            lambda s: F.concat_ws(
+                "|",
+                s["kind"],
+                F.coalesce(s["text"], nul),
+                F.coalesce(s["media_ref"], nul),
+            ),
+        ),
+        "\x1e",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(ser).alias("span_digest"),
+        F.size("spans").alias("n_spans"),
+    )
+
+
+def sql_kg_span_integrity():
+    # mirrors sources/flat_text.flat_docs_to_span_docs(with_media=True):
+    # paragraph(text) | image /a | child_page 'Child' -> (id*31+7)%n |
+    # link_to_page -> (id*17+3)%n | image /b when id%2=0
+    return r"""
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    d AS (SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS doc_id, text
+          FROM documents)
+    SELECT doc_id,
+      md5(
+        'paragraph|' || text || '|\N' || chr(30) ||
+        'image|\N|img://' || doc_id || '/a' || chr(30) ||
+        'child_page|Child|' ||
+            CAST((id*31+7) % (SELECT c FROM n) AS VARCHAR) || chr(30) ||
+        'link_to_page|\N|' ||
+            CAST((id*17+3) % (SELECT c FROM n) AS VARCHAR) ||
+        CASE WHEN id % 2 = 0
+             THEN chr(30) || 'image|\N|img://' || doc_id || '/b'
+             ELSE '' END
+      ) AS span_digest,
+      CAST(CASE WHEN id % 2 = 0 THEN 5 ELSE 4 END AS INT) AS n_spans
+    FROM d
+    """
+
+
 def q_kg_freshness_dedup(spark, sf_dir):
     """A5 last-writer-wins over the events stream keyed by user."""
     ev = _t(spark, sf_dir, "events")
@@ -4667,6 +4724,7 @@ QUERIES = {
     "mm_captions": q_mm_captions,
     "kg_media_entities": q_kg_media_entities,
     "kg_pipeline_media": q_kg_pipeline_media,
+    "kg_span_integrity": q_kg_span_integrity,
 }
 
 ORACLE_SQL = {
@@ -4779,4 +4837,5 @@ ORACLE_SQL = {
     "mm_captions": sql_mm_captions(),
     "kg_media_entities": sql_kg_media_entities(),
     "kg_pipeline_media": sql_kg_pipeline_media(),
+    "kg_span_integrity": sql_kg_span_integrity(),
 }

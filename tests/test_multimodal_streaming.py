@@ -357,3 +357,38 @@ def test_caption_pairs_native_equals_window_variant(spark):
         for r in caption_pairs_native(edge).collect()
     }
     assert got == {"m0": (None, None), "m1": ("alpha", 1)}
+
+
+def test_span_integrity_digest_is_order_and_field_sensitive(spark):
+    """kg_span_integrity's canonical digest flips on ANY span-sequence
+    violation — reorder, dropped span, or a mutated field — the per-row
+    invariant from BASELINE.json's input_hint."""
+    from pyspark.sql import functions as FF
+
+    ddl = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    base = [
+        {"kind": "paragraph", "text": "alpha", "media_ref": None, "offset": 0},
+        {"kind": "image", "text": None, "media_ref": "m1", "offset": 1},
+    ]
+    variants = {
+        "base": base,
+        "reordered": list(reversed(base)),
+        "dropped": base[:1],
+        "mutated_text": [{**base[0], "text": "beta"}, base[1]],
+        "mutated_ref": [base[0], {**base[1], "media_ref": "m2"}],
+        "mutated_kind": [{**base[0], "kind": "heading"}, base[1]],
+    }
+    docs = spark.createDataFrame([(k, v) for k, v in variants.items()], ddl)
+    nul = FF.lit("\\N")
+    ser = FF.array_join(
+        FF.transform(
+            FF.col("spans"),
+            lambda s: FF.concat_ws(
+                "|", s["kind"], FF.coalesce(s["text"], nul), FF.coalesce(s["media_ref"], nul)
+            ),
+        ),
+        "\x1e",
+    )
+    digests = {r.doc_id: r.d for r in docs.select("doc_id", FF.md5(ser).alias("d")).collect()}
+    assert len(set(digests.values())) == len(variants)  # all six distinct
+    # offset intentionally excluded: order is carried by array position
