@@ -120,6 +120,15 @@ def main() -> None:
         probe_n = cpu_probe()
         try:
             low = run_config(1, corpus, repeats)
+            # protocol v3 (execution R onward): RE-GATE between the halves.
+            # Execution Q's failure mode was between-half drift — the
+            # admission gate found the START of a quiet interval, the N
+            # half consumed it, and the 4N half measured the next burst
+            # (or vice versa). A mid-gate makes admission STRICTLY
+            # stricter (it can only reject more pairs, never flatter the
+            # median): both halves must now sit inside one verified-quiet
+            # interval. Earlier executions' classifications are untouched.
+            mid_gate = run_config(4, gate_corpus)
             probe_x4 = cpu_probe()
             high = run_config(4, corpus, repeats)
         except RuntimeError as e:
@@ -132,11 +141,14 @@ def main() -> None:
         n_wall = min(low["walls"])
         x4_wall = min(high["walls"])
         eff = round(n_wall / (4.0 * x4_wall), 3)
-        quiet = n_wall <= N_WALL_MAX and x4_wall <= X4_WALL_MAX
+        mid_quiet = mid_gate["wall_sec"] <= gate_quiet_s
+        quiet = n_wall <= N_WALL_MAX and x4_wall <= X4_WALL_MAX and mid_quiet
         pair = {
             "kind": "pair",
             "estimator": f"min-of-{repeats}",
+            "protocol": "v3-midgate",
             "gate_wall": gate["wall_sec"],
+            "mid_gate_wall": mid_gate["wall_sec"],
             "n": low,
             "x4": high,
             "n_wall_min": n_wall,
@@ -167,7 +179,7 @@ def main() -> None:
     _append(summary)
 
     rows = "\n".join(
-        f"| {i+1} | {p['gate_wall']} | "
+        f"| {i+1} | {p['gate_wall']} / {p.get('mid_gate_wall', '—')} | "
         f"{p.get('n_wall_min', p['n']['wall_sec'])} ({'/'.join(str(w) for w in p['n']['walls'])}) | "
         f"{p.get('x4_wall_min', p['x4']['wall_sec'])} ({'/'.join(str(w) for w in p['x4']['walls'])}) | "
         f"{p['probe_n']} / {p['probe_x4']} | "
@@ -184,13 +196,14 @@ timed repeats in one primed JVM (every repeat wall shown in parens —
 nothing dropped; min-of-k is the standard noise-floor estimator and the
 only discard mode it has is dropping burst-inflated outliers). A pair
 is quiet-window evidence only if BOTH min walls are in-band (N <=
-{N_WALL_MAX} s, 4N <= {X4_WALL_MAX} s), which rejects
-burst-inflated-N false passes. Every gate and every pair is in
+{N_WALL_MAX} s, 4N <= {X4_WALL_MAX} s) AND the mid-gate between the
+halves is also quiet (protocol v3 — rejects the between-half drift
+that contaminated execution Q; strictly stricter than v2). Every gate and every pair is in
 BENCH/SCALING_HUNT.jsonl.
 
 Gates run: {gates}; gate quiet hits: {quiet_hits}; pairs: {len(pairs)}.
 
-| pair | gate wall (s) | N wall (s) | 4N wall (s) | probe N / 4N | efficiency | quiet? |
+| pair | gate / mid-gate wall (s) | N wall (s) | 4N wall (s) | probe N / 4N | efficiency | quiet? |
 |---|---|---|---|---|---|---|
 {rows}
 
