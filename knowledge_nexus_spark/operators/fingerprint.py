@@ -18,12 +18,15 @@ Guarantees (the reason winnowing beats "every n-th hash" sampling):
     share at least one fingerprint (every length-w window of a shared run
     selects the same minimum in both documents).
 
-Scale shape (10^12 docs): tokenise/shingle/hash are pure projections
-(whole-stage codegen, zero Python). The window min partitions by doc id
-— ONE hash exchange on the document key — and the per-doc DISTINCT and
-summary aggregation reuse that same partitioning (HashPartitioning(doc)
-satisfies ClusteredDistribution(doc, fp)), so the whole operator is a
-single shuffle whose rows are (doc, pos, h) triples, never the text.
+Scale shape (10^12 docs): the ENTIRE operator is a per-row array
+program — tokenise, shingle-hash, window-min, and distinct are nested
+array expressions evaluated inside one whole-stage-codegen pipeline,
+so `fingerprint_summary` runs with ZERO exchanges and zero Python
+(winnowing is a per-document sequential computation; the right
+parallelism is across documents, which a projection gives for free).
+The arrays are materialised through stacked Projects (each intermediate
+column is referenced more than once, so CollapseProject cannot inline
+the expensive transform into per-element lambda re-evaluation).
 Reference parity: the reference engine has no fingerprinting stage; this
 is part of the driver-mandated training-data extension surface
 (SURVEY.md extension table).
@@ -31,7 +34,7 @@ is part of the driver-mandated training-data extension surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from knowledge_nexus_spark.operators.dedup import md5_hash64
@@ -39,6 +42,42 @@ from knowledge_nexus_spark.operators.dedup import md5_hash64
 K_SHINGLE = 3  # tokens per shingle (k-gram size)
 W_WINDOW = 4  # hashes per winnowing window
 FP_CHECK_MOD = 1_000_003  # per-doc checksum modulus (keeps sums overflow-free)
+
+
+def _fps_array(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """(id_col, _fps ARRAY<BIGINT>) — the distinct winnowing fingerprints
+    of each document as a per-row array, computed with zero exchanges.
+
+    Three stacked Projects materialise tokens → shingle hashes → window
+    minima. Each intermediate array column is referenced at least twice
+    by the next stage (in a size() bound AND inside the lambda), which
+    blocks CollapseProject from inlining the expensive transform into the
+    lambda body — where it would be re-evaluated once per element.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    staged = df.filter(F.size(toks) >= k).select(
+        F.col(id_col), toks.alias("_tk")
+    )
+    # shingle hashes: h[i] = md5_hash64(join(tk[i..i+k-1]))
+    n_sh = F.size(F.col("_tk")) - F.lit(k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: md5_hash64(F.array_join(F.slice(F.col("_tk"), i + 1, k), " ")),
+    )
+    staged = staged.select(F.col(id_col), hashes.alias("_hs"))
+    # window minima over every w-hash window start; slice truncates at the
+    # array edge, which is exactly the single-window semantics for docs
+    # with n_sh < w (one window at position 0 covering all hashes).
+    n_pos = F.greatest(F.size(F.col("_hs")) - w, F.lit(0))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_pos),
+            lambda i: F.array_min(F.slice(F.col("_hs"), i + 1, w)),
+        )
+    )
+    return staged.select(F.col(id_col), fps.alias("_fps"))
 
 
 def winnow_fingerprints(
@@ -54,39 +93,19 @@ def winnow_fingerprints(
     excluded (no fingerprint is defined). Documents with fewer than
     ``w`` shingles yield exactly one fingerprint: the minimum over all
     their hashes (the single truncated window at position 0).
+
+    explode_outer, NOT explode: for a plain explode, Catalyst's
+    InferFiltersFromGenerate adds ``size(_fps) > 0`` below the Generate
+    and predicate pushdown then inlines the ENTIRE nested array program
+    into that Filter — where the window-min lambda re-evaluates the full
+    shingle-hash transform once per position (O(n_sh²·|text|) per doc;
+    a 2 000-token doc takes minutes instead of milliseconds).
+    explode_outer admits no such inference, and it is semantics-neutral
+    here: ``_fps`` is never empty (the sub-``k`` filter already ran, and
+    sequence(0, max(n_sh-w, 0)) always yields ≥ 1 position).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n_sh = F.size(toks) - F.lit(k - 1)
-    shingles = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
-    hashed = (
-        df.filter(F.size(toks) >= k)
-        .select(
-            F.col(id_col),
-            n_sh.alias("n_sh"),
-            F.posexplode(shingles).alias("pos", "shingle"),
-        )
-        .select(
-            id_col, "n_sh", "pos", md5_hash64(F.col("shingle")).alias("h")
-        )
-    )
-    # min over the w-hash window starting at pos; ROWS ... FOLLOWING
-    # truncates at the partition edge, which is exactly the single-window
-    # semantics we want for docs with n_sh < w once we keep only window
-    # START positions (pos <= max(n_sh - w, 0)).
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    return (
-        hashed.select(
-            id_col,
-            "pos",
-            "n_sh",
-            F.min("h").over(win).alias("fp"),
-        )
-        .filter(F.col("pos") <= F.greatest(F.col("n_sh") - w, F.lit(0)))
-        .select(id_col, "fp")
-        .distinct()
+    return _fps_array(df, id_col, text_col, k, w).select(
+        id_col, F.explode_outer("_fps").alias("fp")
     )
 
 
@@ -100,13 +119,22 @@ def fingerprint_summary(
     """Per-document fingerprint digest:
     (id, n_fps BIGINT, fp_min BIGINT, fp_max BIGINT, fp_check BIGINT)
     where fp_check = sum(fp mod FP_CHECK_MOD) — an order-independent
-    checksum of the fingerprint set that stays well inside BIGINT."""
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-    return fps.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_fps"),
-        F.min("fp").alias("fp_min"),
-        F.max("fp").alias("fp_max"),
-        F.sum(F.col("fp") % FP_CHECK_MOD).alias("fp_check"),
+    checksum of the fingerprint set that stays well inside BIGINT.
+
+    A pure projection over the per-row fingerprint array — zero
+    exchanges, zero Python, no window, no aggregation operator at all.
+    """
+    fps = F.col("_fps")
+    return _fps_array(df, id_col, text_col, k, w).select(
+        id_col,
+        F.size(fps).cast("long").alias("n_fps"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+        F.aggregate(
+            fps,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x % FP_CHECK_MOD),
+        ).alias("fp_check"),
     )
 
 

@@ -101,9 +101,26 @@ def test_density_bound(spark):
     assert 0.4 * expected <= n_fps <= 2.0 * expected
 
 
-def test_single_shuffle_plan(spark, docs_df):
-    """The whole operator is ONE doc-keyed exchange: window min, DISTINCT,
-    and the summary agg all reuse HashPartitioning(doc_id)."""
+def test_zero_shuffle_plan(spark, docs_df):
+    """The whole operator is a per-row array program: no exchange, no
+    window, no aggregation operator — one codegen projection pipeline.
+    The stacked Projects must also survive CollapseProject (each array
+    stays materialised instead of being inlined into a lambda body where
+    it would be re-evaluated per element)."""
     plan = fingerprint_summary(docs_df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Aggregate" not in plan, plan
+
+
+def test_explode_path_has_no_inlined_filter(spark, docs_df):
+    """Regression guard: with a plain explode, InferFiltersFromGenerate +
+    predicate pushdown inline the whole winnowing array program into a
+    Filter whose window-min lambda re-evaluates the shingle-hash
+    transform per position (quadratic per doc — a 2k-token doc went
+    from ms to minutes). explode_outer blocks the inference; the only
+    Filter left must be the cheap sub-k token gate (no array_min)."""
+    plan = winnow_fingerprints(docs_df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "array_min" not in line, line
