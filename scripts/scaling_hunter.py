@@ -51,8 +51,13 @@ from bench_scaling import (  # noqa: E402
     run_config,
 )
 
-N_WALL_MAX = 115.0      # quiet N walls 92-95 s + margin
-X4_WALL_MAX = 40.0      # quiet 4N walls ~30 s + margin
+N_WALL_MAX = 115.0      # quiet N walls 92-95 s + margin (at 600k docs)
+X4_WALL_MAX = 40.0      # quiet 4N walls ~30 s + margin (at 600k docs)
+BAND_REF_DOCS = 600_000  # the corpus the bands were calibrated on; for
+# other corpus sizes the in-band maxima scale linearly with n_docs (the
+# pipeline is a fixed number of linear passes — per-doc work dominates
+# past ~100k docs), keeping the quiet-window criterion equally strict
+# relative to the workload instead of vacuously loose/tight.
 
 HUNT_JSONL = os.path.join(REPO, "BENCH", "SCALING_HUNT.jsonl")
 HUNT_MD = os.path.join(REPO, "BENCH", "SCALING_HUNT.md")
@@ -92,6 +97,9 @@ def main() -> None:
     gen.stop()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    band_scale = n_docs / BAND_REF_DOCS
+    n_wall_max = N_WALL_MAX * band_scale
+    x4_wall_max = X4_WALL_MAX * band_scale
     deadline = time.time() + max_minutes * 60
     pairs: list[dict] = []
     gates = 0
@@ -142,7 +150,7 @@ def main() -> None:
         x4_wall = min(high["walls"])
         eff = round(n_wall / (4.0 * x4_wall), 3)
         mid_quiet = mid_gate["wall_sec"] <= gate_quiet_s
-        quiet = n_wall <= N_WALL_MAX and x4_wall <= X4_WALL_MAX and mid_quiet
+        quiet = n_wall <= n_wall_max and x4_wall <= x4_wall_max and mid_quiet
         pair = {
             "kind": "pair",
             "estimator": f"min-of-{repeats}",
@@ -196,7 +204,8 @@ timed repeats in one primed JVM (every repeat wall shown in parens —
 nothing dropped; min-of-k is the standard noise-floor estimator and the
 only discard mode it has is dropping burst-inflated outliers). A pair
 is quiet-window evidence only if BOTH min walls are in-band (N <=
-{N_WALL_MAX} s, 4N <= {X4_WALL_MAX} s) AND the mid-gate between the
+{n_wall_max:.1f} s, 4N <= {x4_wall_max:.1f} s — the 600k-calibrated
+bands scaled linearly to this corpus) AND the mid-gate between the
 halves is also quiet (protocol v3 — rejects the between-half drift
 that contaminated execution Q; strictly stricter than v2). Every gate and every pair is in
 BENCH/SCALING_HUNT.jsonl.
