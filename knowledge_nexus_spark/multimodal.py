@@ -128,7 +128,12 @@ def media_assets(documents: DataFrame, real_payloads: bool = False) -> DataFrame
         payload = _payload(F.struct("kind", "media_ref"))
     else:
         payload = F.sha2(F.col("media_ref"), 256).cast("binary")
-    return base.withColumn("payload", payload).repartition(F.col("media_ref"))
+    # Repartition BEFORE computing the payload: the fetch must execute in
+    # the post-shuffle (media_ref-hashed) tasks for the redistribution to
+    # spread load across asset hosts — projecting first would run the
+    # fetch in the explode's partitioning and shuffle only the fetched
+    # bytes (heavier AND still hot-host-pinned).
+    return base.repartition(F.col("media_ref")).withColumn("payload", payload)
 
 
 # ----------------------------------------------------------------- decode --
@@ -305,16 +310,24 @@ def caption_pairs(documents: DataFrame, keep_kind: bool = False) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_text = F.col("s.kind") == "paragraph"
-    cap_text = F.last(F.when(is_text, F.col("s.text")), ignorenulls=True).over(w)
-    cap_pos = F.last(F.when(is_text, F.col("pos")), ignorenulls=True).over(w)
+    # One struct per preceding paragraph span, so caption text and
+    # position always come from the SAME span: a paragraph whose text is
+    # NULL still wins the nearest-preceding race (caption NULL, distance
+    # to it) exactly like caption_pairs_native's kind-only filter. Two
+    # independent last(ignorenulls) columns would diverge there — the
+    # text one skips the NULL-text span, the pos one counts it.
+    cap = F.last(
+        F.when(is_text, F.struct(F.col("pos").alias("p"), F.col("s.text").alias("t"))),
+        ignorenulls=True,
+    ).over(w)
     out = (
         ex.select(
             "doc_id",
             F.col("s.kind").alias("kind"),
             F.col("s.media_ref").alias("media_ref"),
             "pos",
-            cap_text.alias("caption"),
-            (F.col("pos") - cap_pos).cast("int").alias("caption_distance"),
+            cap["t"].alias("caption"),
+            (F.col("pos") - cap["p"]).cast("int").alias("caption_distance"),
         )
         .filter(F.col("kind").isin(*MEDIA_KINDS))
         .drop("pos")

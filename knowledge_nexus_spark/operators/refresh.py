@@ -57,7 +57,7 @@ from knowledge_nexus_spark.operators.graphops import (
     page_nodes,
 )
 from knowledge_nexus_spark.pipeline import PipelineConfig
-from knowledge_nexus_spark.streaming.ingest import N_BUCKETS, _snapshot_exists
+from knowledge_nexus_spark.streaming.ingest import _bucket_of, _snapshot_exists
 
 
 @dataclass
@@ -66,10 +66,6 @@ class RefreshResult:
     edges: DataFrame
     n_changed: int  # docs re-extracted this refresh (== corpus size on init)
     chunks: DataFrame | None = None  # only when cfg.with_chunks
-
-
-def _bucket_of(col):
-    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
 
 
 def _delete_partition_dirs(spark: SparkSession, root: str, buckets: list[int]) -> None:

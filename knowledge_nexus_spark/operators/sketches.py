@@ -54,6 +54,11 @@ def hll_registers(
     — the 100 TB incremental pattern (sketch each new partition once,
     merge m rows per group, never rescan history).
     """
+    # NULLs never count toward COUNT(DISTINCT): without this filter a NULL
+    # value row becomes a phantom (j=NULL, M=NULL) register that inflates
+    # n_buckets in hll_estimate while contributing nothing to s_obs,
+    # biasing the estimate high. (Any SQL oracle must filter identically.)
+    df = df.filter(F.col(value_col).isNotNull())
     h = md5_hash64(F.col(value_col).cast("string"))
     bucket = F.pmod(h, F.lit(M_REGISTERS))
     # shiftright, NOT floor(h/m): h is up to 2^60, beyond double's exact
@@ -253,7 +258,7 @@ def hll_distinct_sql(table: str, group_col: str, value_col: str) -> str:
     WITH hashed AS (
       SELECT {group_col} AS g,
              CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      FROM {table}),
+      FROM {table} WHERE {value_col} IS NOT NULL),
     rho_t AS (
       SELECT g, h % {m} AS j,
              CASE WHEN h // {m} = 0 THEN {rb + 1}

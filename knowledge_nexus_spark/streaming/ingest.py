@@ -3,10 +3,15 @@
 The reference's incremental story is batch CDC keyed on last_edited_time
 (notion_provider.py:315-319; neo4j_manager.py:183-186). Here the same
 semantics run continuously: a file-source stream of document batches →
-triple extraction → ``foreachBatch`` MERGE into the edges snapshot
-(idempotent: distinct on the MERGE key, union with the existing snapshot,
-last-writer-wins on nodes). Exactly-once comes from the streaming
-checkpoint + the idempotent merge, mirroring Iceberg MERGE in production.
+freshness dedup within the batch → triple extraction → ``foreachBatch``
+MERGE into the edges snapshot as a keyed DELETE+INSERT: every triple's
+subj is its source document's normalized id (extract.py:345), so deleting
+the batch documents' subj keys and inserting their re-extracted triples
+is exact last-writer-wins — a re-edited document's REMOVED links (and an
+archived document's whole content) leave the snapshot, matching
+operators/refresh.py's batch semantics. Exactly-once comes from the
+streaming checkpoint + the idempotent merge, mirroring Iceberg MERGE in
+production.
 
 Scale design — the MERGE is PARTITION-SCOPED: the snapshot is hash-
 partitioned on ``bucket = pmod(xxhash64(subj), N)`` and each micro-batch
@@ -55,24 +60,41 @@ def _snapshot_exists(spark: SparkSession, path: str) -> bool:
 
 
 def merge_edges_batch(batch_df: DataFrame, epoch_id: int, edges_path: str) -> None:
-    """foreachBatch sink: extract batch triples, MERGE-distinct into the
-    running edges snapshot, touching only the partitions the batch hits.
+    """foreachBatch sink: freshness-dedup the batch, re-extract, and MERGE
+    into the running edges snapshot as a keyed delete+insert, touching only
+    the partitions the batch's documents hash to.
+
+    Last-writer-wins, exactly like operators/refresh.py: the delete key set
+    is EVERY batch document's normalized id (not just documents that still
+    emit triples — a v2 that dropped its links, or was archived, must
+    delete v1's edges), and two versions of one document inside a single
+    micro-batch collapse to the newest before extraction.
 
     Idempotent under retries: the merged content of a partition is a pure
-    function of (snapshot partition, batch), so rewriting it twice yields
-    identical bytes — no epoch-suffixed staging dirs to leak."""
+    function of (snapshot partition, batch) — the anti-join removes the
+    batch's subj keys before re-inserting them — so rewriting it twice
+    yields identical bytes; no epoch-suffixed staging dirs to leak."""
+    from knowledge_nexus_spark.functions.extract import normalize_uuid_col
+    from knowledge_nexus_spark.operators.graphops import freshness_dedup
+
     spark = batch_df.sparkSession
+    latest = freshness_dedup(batch_df)
+    subjects = (
+        latest.select(normalize_uuid_col(F.col("doc_id")).alias("subj"))
+        .distinct()
+        .withColumn("bucket", _bucket_of(F.col("subj")))
+        .localCheckpoint(eager=True)
+    )
+    touched = [r.bucket for r in subjects.select("bucket").distinct().collect()]
+    if not touched:
+        return
     new_edges = (
-        extract_triples_native(content_docs(batch_df))
+        extract_triples_native(content_docs(latest))
         .withColumn("context", F.coalesce(F.col("context"), F.lit("")))
         .dropDuplicates(_MERGE_KEY)
         .withColumn("bucket", _bucket_of(F.col("subj")))
+        .localCheckpoint(eager=True)
     )
-    # Materialize once: consumed for the touched-bucket set AND the merge.
-    new_edges = new_edges.localCheckpoint(eager=True)
-    touched = [r.bucket for r in new_edges.select("bucket").distinct().collect()]
-    if not touched:
-        return
 
     if _snapshot_exists(spark, edges_path):
         existing = (
@@ -80,18 +102,32 @@ def merge_edges_batch(batch_df: DataFrame, epoch_id: int, edges_path: str) -> No
             .filter(F.col("bucket").isin(touched))  # partition-pruned scan
             .select(*_MERGE_KEY, "bucket")
         )
-        merged = existing.unionByName(new_edges).dropDuplicates(_MERGE_KEY)
+        kept = existing.join(subjects.select("subj"), "subj", "left_anti")
+        merged = kept.unionByName(new_edges).dropDuplicates(_MERGE_KEY)
     else:
         merged = new_edges
     # Break the read→overwrite cycle on the snapshot files, then rewrite
     # ONLY the partitions present in `merged` (the touched buckets).
     merged = merged.localCheckpoint(eager=True)
+    out_buckets = {r.bucket for r in merged.select("bucket").distinct().collect()}
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         merged.write.mode("overwrite").partitionBy("bucket").parquet(edges_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Dynamic overwrite only rewrites partitions PRESENT in the output: a
+    # touched bucket whose content was entirely deleted (every stored subj
+    # re-keyed away, no new edges hashing there) must be removed explicitly
+    # or its stale files survive — same emptied-bucket rule as
+    # operators/refresh.py's _merge_bucketed.
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for b in set(touched) - out_buckets:
+        p = jvm.org.apache.hadoop.fs.Path(f"{edges_path}/bucket={b}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def incremental_ingest(

@@ -98,30 +98,32 @@ def _sessionize_fn(gap_seconds: int):
         else:
             start, last, n = None, None, 0
 
-        # Order-insensitive fold. The batch is sorted, but the OPEN-session
-        # state may be newer than a late event the watermark legitimately
-        # admits — `last` must never regress (it feeds the gap test AND the
-        # timeout), so late events merge via min(start)/max(last). Gap
-        # semantics are session_window's: >= gap opens a new session.
+        # Order-insensitive interval gap-merge. The open-session state is
+        # just one more (start, end, n) interval among the batch's events:
+        # sort them all and fold consecutive intervals whose gap is < gap
+        # (session_window's >= gap opens a new session). This handles every
+        # late-arrival shape a finite watermark admits — events interior to
+        # the open session, backward extension CHAINS (e.g. gap 10, state
+        # start 100, events 85 and 92: 92 bridges 85 into the session — a
+        # per-event fold over ascending timestamps emits 85 as a spurious
+        # singleton), and runs of old events that belong to ONE earlier
+        # session merging with each other before being emitted. The last
+        # interval stays open as the new state; earlier ones close now
+        # (possibly re-emitting a session a deeper-late event reopened —
+        # the documented exactly-once boundary of a finite watermark).
+        items = [(float(t), float(t), 1) for t in ts]
+        if start is not None:
+            items.append((float(start), float(last), int(n)))
+        items.sort()
         closed = []
-        for t in ts:
-            t = float(t)
-            if start is None:
-                start, last, n = t, t, 1
-            elif t >= last:
-                if (t - last) >= gap:
-                    closed.append((start, last, n))
-                    start, last, n = t, t, 1
-                else:
-                    last, n = t, n + 1
-            elif t >= start:
-                n += 1  # late event interior to the open session
-            elif (start - t) < gap:
-                start, n = t, n + 1  # late event extends the session backward
+        cs, ce, cn = items[0]
+        for s2, e2, n2 in items[1:]:
+            if (s2 - ce) >= gap:
+                closed.append((cs, ce, cn))
+                cs, ce, cn = s2, e2, n2
             else:
-                # Predates the open session by >= gap: belongs to an older
-                # (possibly already-emitted) session — emit standalone.
-                closed.append((t, t, 1))
+                ce, cn = max(ce, e2), cn + n2
+        start, last, n = cs, ce, cn
 
         state.update((float(start), float(last), int(n)))
         # event-time timeout: fire when the watermark passes last + gap

@@ -121,6 +121,83 @@ def test_streaming_merge_is_partition_scoped(spark, tmp_path):
     assert len(all_buckets) > len(touched), "snapshot must span more buckets"
 
 
+def test_streaming_merge_is_last_writer_wins(spark, tmp_path):
+    """A re-edited document's REMOVED links must leave the snapshot (keyed
+    delete+insert on subj — operators/refresh.py parity), an archived v2
+    must delete the document's edges entirely, and two versions inside one
+    micro-batch must collapse to the newest before extraction. An
+    append-only MERGE-distinct passes the partition-scoped test but fails
+    all three."""
+    from knowledge_nexus_spark.functions.extract import (
+        extract_triples_native,
+        normalize_uuid_col,
+    )
+    from knowledge_nexus_spark.operators.graphops import content_docs
+    from knowledge_nexus_spark.streaming.ingest import merge_edges_batch
+
+    docs = generate_documents(spark, CFG)
+    edges_path = str(tmp_path / "edges")
+
+    def snapshot_for(subj):
+        return {
+            (r.subj, r.pred, r.obj, r.context)
+            for r in spark.read.parquet(edges_path)
+            .filter(F.col("subj") == subj)
+            .select("subj", "pred", "obj", "context")
+            .collect()
+        }
+
+    def extracted(batch):
+        return {
+            (r.subj, r.pred, r.obj, r.context)
+            for r in extract_triples_native(content_docs(batch))
+            .withColumn("context", F.coalesce(F.col("context"), F.lit("")))
+            .select("subj", "pred", "obj", "context")
+            .collect()
+        }
+
+    # pick a live doc that actually emits link triples
+    some_subj = (
+        extract_triples_native(content_docs(docs)).select("subj").first().subj
+    )
+    one = docs.withColumn(
+        "_subj", normalize_uuid_col(F.col("doc_id"))
+    ).filter(F.col("_subj") == some_subj).drop("_subj").localCheckpoint(eager=True)
+    assert one.count() == 1
+
+    merge_edges_batch(docs, 0, edges_path)
+    assert snapshot_for(some_subj) == extracted(one)
+
+    # v2 drops every link span: the removed triples must leave the snapshot
+    v2 = (
+        one.withColumn("last_edited_time", F.lit("2030-06-01T00:00:00.000001Z"))
+        .withColumn("spans", F.filter("spans", lambda s: s["kind"] != "link_to_page"))
+        .localCheckpoint(eager=True)
+    )
+    merge_edges_batch(v2, 1, edges_path)
+    want_v2 = extracted(v2)
+    assert snapshot_for(some_subj) == want_v2
+    assert extracted(one) != want_v2, "v2 must actually remove triples"
+
+    # v1 + v3 in ONE batch: freshness dedup keeps only the newest version
+    v3 = (
+        one.withColumn("last_edited_time", F.lit("2031-01-01T00:00:00.000001Z"))
+        .withColumn("spans", F.slice("spans", 1, 2))
+        .localCheckpoint(eager=True)
+    )
+    merge_edges_batch(one.unionByName(v3), 2, edges_path)
+    assert snapshot_for(some_subj) == extracted(v3)
+
+    # archived v4: the document's edges disappear entirely
+    v4 = v3.withColumn(
+        "last_edited_time", F.lit("2032-01-01T00:00:00.000001Z")
+    ).withColumn("archived", F.lit(True))
+    merge_edges_batch(v4, 3, edges_path)
+    assert snapshot_for(some_subj) == set()
+    # …and the rest of the snapshot is untouched
+    assert spark.read.parquet(edges_path).count() > 0
+
+
 def test_incremental_ingest_matches_batch(spark, tmp_path):
     """Two document drops streamed in → edges snapshot equals one batch
     extraction over the union (idempotent MERGE semantics)."""

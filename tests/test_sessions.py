@@ -100,6 +100,32 @@ def test_stateful_late_event_extends_backward_and_old_is_standalone():
     assert st.get == (9000.0, 10100.0, 3)
 
 
+def test_stateful_backward_chain_merges_into_one_session():
+    """Late events must BRIDGE: with gap 10 and an open session at 100, the
+    batch [85, 92] chains (92 joins the session, then 85 joins via 92) —
+    the old per-event ascending fold emitted 85 as a spurious singleton."""
+    from knowledge_nexus_spark.streaming.sessions import _sessionize_fn
+
+    fn = _sessionize_fn(10)
+    st = _FakeState()
+    assert _feed(fn, st, [100, 101]) == []
+    assert _feed(fn, st, [85, 92]) == []
+    assert st.get == (85.0, 101.0, 4)
+
+
+def test_stateful_old_events_merge_with_each_other():
+    """Two admitted events >= gap older than the open session but within
+    gap of EACH OTHER close as ONE session (batch session_window parity),
+    not two singletons."""
+    from knowledge_nexus_spark.streaming.sessions import _sessionize_fn
+
+    fn = _sessionize_fn(10)
+    st = _FakeState()
+    assert _feed(fn, st, [100, 101]) == []
+    assert _feed(fn, st, [50, 55]) == [(1, 50.0, 55.0, 2)]
+    assert st.get == (100.0, 101.0, 2)
+
+
 def test_stateful_exact_gap_matches_session_window_semantics():
     """session_window opens a new session at EXACTLY gap seconds — the
     stateful operator must agree (>= gap, not > gap)."""
