@@ -119,6 +119,84 @@ def connected_components(
     )
 
 
+def incremental_components(
+    prev_map: DataFrame, new_edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Merge ``new_edges(src, dst)`` into a CONVERGED component map
+    ``prev_map(id, component)`` (the output of :func:`connected_components`
+    over the historical edges) — returns the updated (id, component) map,
+    provably equal to ``connected_components(history ∪ new_edges)`` run
+    from scratch. This is the daily-ingest canonicalization-maintenance
+    pattern: new alias evidence arrives continuously, and re-running CC
+    over 10^12 historical edges per batch is not an option.
+
+    Adding edges can only MERGE equivalence classes, never split them, so
+    the delta problem reduces to CC on the QUOTIENT graph: project each
+    new edge endpoint onto its current representative (identity for
+    never-seen ids), run the iterative CC on that projected edge list —
+    whose size is O(|new_edges|), independent of history — then compose:
+    final(id) = q(prev(id)).
+
+    Equality: prev labels are component minima; the quotient CC elects
+    the min representative of each merged class, and the min over the
+    minima of merged classes IS the min over the union of their members;
+    an id first seen in ``new_edges`` enters the quotient as its own
+    representative. Composition therefore reproduces the full rebuild's
+    labels exactly (pinned against a from-scratch rebuild in
+    tests/test_components.py and value-hash-gated as
+    ``dedup_clusters_incremental`` against the same recursive-CTE oracle
+    as ``dedup_clusters``).
+
+    Scale shape (10^12 ids): history is touched exactly twice, never
+    iterated — (1) one equi-join on id against the new endpoint set
+    (small; with ``prev_map`` bucket-partitioned on id the big side needs
+    no Exchange), and (2) one BROADCAST join against the quotient result,
+    whose size is bounded by 2·|new_edges| regardless of history. The
+    iterative loop runs only on the quotient edges. Returned rows differ
+    from ``prev_map`` only where classes merged, so a MERGE-style sink
+    rewrites O(members of merged classes), not the world.
+    """
+    ne = new_edges.select("src", "dst")
+    endpoints = (
+        ne.select(F.col("src").alias("id"))
+        .unionByName(ne.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # representative of each touched endpoint under the OLD map
+    # (identity for ids history has never seen)
+    reps = endpoints.join(prev_map, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("rep")
+    )
+    q_edges = (
+        ne.join(
+            reps.select(F.col("id").alias("src"), F.col("rep").alias("_rs")), "src"
+        )
+        .join(reps.select(F.col("id").alias("dst"), F.col("rep").alias("_rd")), "dst")
+        .select(F.col("_rs").alias("src"), F.col("_rd").alias("dst"))
+    )
+    # CC over representatives only — O(|new_edges|) work. Empty or
+    # all-self-loop quotients converge to an empty map immediately.
+    qcc = connected_components(q_edges, max_iter=max_iter)
+    relabel = F.broadcast(
+        qcc.select(F.col("id").alias("_old"), F.col("component").alias("_new"))
+    )
+
+    updated_old = prev_map.join(
+        relabel, prev_map["component"] == relabel["_old"], "left"
+    ).select(
+        "id", F.coalesce(F.col("_new"), F.col("component")).alias("component")
+    )
+    # ids first seen in this batch (rep == id and absent from history):
+    # label = quotient component of their rep, identity if their only
+    # quotient edges were self-loops (already-merged endpoints)
+    new_rows = (
+        reps.join(prev_map.select("id"), "id", "left_anti")
+        .join(relabel, reps["rep"] == relabel["_old"], "left")
+        .select("id", F.coalesce(F.col("_new"), F.col("rep")).alias("component"))
+    )
+    return updated_old.unionByName(new_rows)
+
+
 def canonical_map(alias_edges: DataFrame, all_ids: DataFrame) -> DataFrame:
     """(id, canonical_id) for every id in ``all_ids`` — identity when the id
     participates in no alias class. Join this against triples' subj/obj to

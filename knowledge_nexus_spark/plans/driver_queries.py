@@ -474,6 +474,41 @@ def sql_dedup_clusters():
     """
 
 
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """The O(delta) canonicalization-MAINTENANCE path under the hard gate:
+    split the near-dup alias edges deterministically into a 'historical'
+    batch (both endpoints xxhash64-even) and a 'new' batch (the rest),
+    converge CC on the history alone, then fold the new batch in via
+    ``incremental_components`` (quotient-graph CC — history is joined
+    twice, iterated never). The output must be BIT-IDENTICAL to the
+    from-scratch closure, so the oracle is the SAME recursive CTE as
+    ``dedup_clusters`` — the gate proves the daily-ingest incremental
+    path returns exactly the full-rebuild labels."""
+    from knowledge_nexus_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+    def _old(c):
+        return F.pmod(F.xxhash64(c), F.lit(2)) == 0
+
+    both_old = _old(F.col("src")) & _old(F.col("dst"))
+    prev = connected_components(edges.filter(both_old))
+    merged = incremental_components(prev, edges.filter(~both_old))
+    return (
+        docs.select("doc_id")
+        .join(merged.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+
+
 def q_docs_canonical(spark, sf_dir):
     """The dedup ENDGAME a training pipeline actually ships: near-dup
     clusters (same closure as ``dedup_clusters``) each keep ONE canonical
@@ -4628,6 +4663,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_incremental": q_dedup_clusters_incremental,
     "docs_canonical": q_docs_canonical,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -4745,6 +4781,9 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": sql_dedup_minhash_lsh(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_clusters": sql_dedup_clusters(),
+    # the incremental path must reproduce the from-scratch closure exactly,
+    # so it shares dedup_clusters' recursive-CTE oracle verbatim
+    "dedup_clusters_incremental": sql_dedup_clusters(),
     "docs_canonical": sql_docs_canonical(),
     "dedup_embedding": sql_dedup_embedding(),
     "ann_topk": sql_ann_topk(),

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from knowledge_nexus_spark.operators.components import (
     canonical_map,
     connected_components,
+    incremental_components,
     rewrite_triples,
 )
 
@@ -104,6 +105,74 @@ def test_canonical_map_and_rewrite(spark):
     )
     rewritten = {(r.subj, r.pred, r.obj) for r in rewrite_triples(triples, mapping).collect()}
     assert rewritten == {("a", "REFERENCES", "solo"), ("solo", "CONTAINS", "a")}
+
+
+def _inc_check(spark, old_edges, new_edges):
+    """incremental_components(cc(old), new) must equal cc(old ∪ new) on
+    every id either side has seen."""
+    prev = connected_components(spark.createDataFrame(old_edges, ["src", "dst"]))
+    got = {
+        r.id: r.component
+        for r in incremental_components(
+            prev, spark.createDataFrame(new_edges, ["src", "dst"])
+        ).collect()
+    }
+    want = _union_find(old_edges + new_edges)
+    assert got == want
+
+
+def test_incremental_merges_two_old_components(spark):
+    """One new edge bridging two historical chains relabels BOTH chains to
+    the global min; untouched components keep their labels."""
+    _inc_check(
+        spark,
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q")],
+        [("c", "x")],
+    )
+
+
+def test_incremental_new_ids_only(spark):
+    """A batch whose ids history has never seen forms fresh components."""
+    _inc_check(spark, [("a", "b")], [("n1", "n2"), ("n2", "n3")])
+
+
+def test_incremental_mixed_chain_through_new_id(spark):
+    """A new id bridges two old components transitively (old–new–old), and
+    a redundant within-component edge (self-loop in the quotient) is a
+    no-op."""
+    _inc_check(
+        spark,
+        [("a", "b"), ("x", "y")],
+        [("b", "fresh"), ("fresh", "y"), ("a", "b")],
+    )
+
+
+def test_incremental_matches_full_on_random_graphs(spark):
+    rng = random.Random(13)
+    for _ in range(3):
+        n = 50
+        edges = [
+            (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")
+            for _ in range(rng.randint(30, 90))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if len(edges) < 4:
+            continue
+        cut = rng.randint(1, len(edges) - 1)
+        _inc_check(spark, edges[:cut], edges[cut:])
+
+
+def test_incremental_quotient_relabel_is_broadcast(spark):
+    """The composition join against history must broadcast the quotient
+    result — history itself is never shuffled by the relabel step."""
+    prev = connected_components(
+        spark.createDataFrame([("a", "b"), ("x", "y")], ["src", "dst"])
+    )
+    out = incremental_components(
+        prev, spark.createDataFrame([("b", "x")], ["src", "dst"])
+    )
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan
 
 
 def test_docs_canonical_invariants(spark):
