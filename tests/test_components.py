@@ -162,6 +162,18 @@ def test_incremental_matches_full_on_random_graphs(spark):
         _inc_check(spark, edges[:cut], edges[cut:])
 
 
+def test_long_chain_converges_in_log_rounds(spark):
+    """Pointer jumping makes convergence O(log diameter): a 600-link chain
+    (diameter 600) must converge within 12 rounds — plain min-label
+    propagation moves the min one hop per round and would need ~600.
+    Labels still equal the component minimum."""
+    n = 600
+    edges = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(n)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.component for r in connected_components(df, max_iter=12).collect()}
+    assert got == {f"c{i:04d}": "c0000" for i in range(n + 1)}
+
+
 def test_incremental_quotient_relabel_is_broadcast(spark):
     """The composition join against history must broadcast the quotient
     result — history itself is never shuffled by the relabel step."""
