@@ -57,7 +57,52 @@ from knowledge_nexus_spark.operators.graphops import (
     page_nodes,
 )
 from knowledge_nexus_spark.pipeline import PipelineConfig
+from knowledge_nexus_spark.schema import CHUNKS_SCHEMA, TRIPLES_SCHEMA
 from knowledge_nexus_spark.streaming.ingest import _bucket_of, _snapshot_exists
+
+# Declared schemas for every state table (Iceberg tables carry explicit
+# schemas; parquet footer inference is the sandbox-emulation artifact and
+# BREAKS when a table is legitimately empty — e.g. a corpus snapshot with
+# zero bookmark URLs writes a burls/ dir with no part files, and a
+# schema-inferred read of it throws UNABLE_TO_INFER_SCHEMA).
+
+
+def _struct(*fields):
+    from pyspark.sql import types as T
+
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+def _state_schemas():
+    from pyspark.sql import types as T
+
+    s = T.StringType()
+    nullable = lambda sch: _struct(*((f.name, f.dataType) for f in sch.fields))
+    return {
+        "meta": _struct(("doc_id", s), ("last_edited_time", s)),
+        "nodes": _struct(
+            ("id", s), ("title", s), ("type", s), ("url", s),
+            ("content", s), ("source", s), ("last_edited_time", s),
+        ),
+        "burls": _struct(("doc_id", s), ("url", s)),
+        "triples": nullable(TRIPLES_SCHEMA),
+        "chunks": nullable(CHUNKS_SCHEMA),
+    }
+
+
+def _read_state(spark: SparkSession, path: str) -> DataFrame:
+    """Read a bucket-partitioned state table with its DECLARED schema —
+    never footer inference — so an empty table (zero part files) reads as
+    an empty DataFrame instead of throwing. Partition pruning on `bucket`
+    is unaffected: the partition column is appended to the read schema."""
+    from pyspark.sql import types as T
+
+    table = path.rstrip("/").rsplit("/", 1)[-1]
+    base = _state_schemas()[table]
+    schema = T.StructType(
+        base.fields + [T.StructField("bucket", T.IntegerType(), True)]
+    )
+    return spark.read.schema(schema).parquet(path)
 
 
 @dataclass
@@ -145,7 +190,7 @@ def _merge_bucketed(
     if not touched:
         return
     stored = (
-        spark.read.parquet(path)
+        _read_state(spark, path)
         .filter(F.col("bucket").isin(touched))  # partition-pruned scan
         .join(keys.select(key_col), key_col, "left_anti")
     )
@@ -186,7 +231,7 @@ def refresh_updated(
     has_state = _snapshot_exists(spark, meta_p)
 
     if has_state:
-        stored_meta = spark.read.parquet(meta_p)
+        stored_meta = _read_state(spark, meta_p)
         prev = stored_meta.select(
             F.col("doc_id"), F.col("last_edited_time").alias("_stored_ts")
         )
@@ -212,7 +257,7 @@ def refresh_updated(
             nodes=_derive_nodes(spark, nodes_p, burl_p),
             edges=_derive_edges(spark, state_dir, cfg),
             n_changed=n_changed,
-            chunks=spark.read.parquet(chunk_p).drop("bucket")
+            chunks=_read_state(spark, chunk_p).drop("bucket")
             if cfg.with_chunks
             else None,
         )
@@ -248,13 +293,13 @@ def refresh_updated(
 
 
 def _derive_nodes(spark: SparkSession, nodes_p: str, burl_p: str) -> DataFrame:
-    page = spark.read.parquet(nodes_p).drop("bucket")
-    urls = spark.read.parquet(burl_p).select(F.col("url").alias("id")).distinct()
+    page = _read_state(spark, nodes_p).drop("bucket")
+    urls = _read_state(spark, burl_p).select(F.col("url").alias("id")).distinct()
     return page.unionByName(bookmark_nodes(urls))
 
 
 def _derive_edges(spark: SparkSession, state_dir: str, cfg: PipelineConfig) -> DataFrame:
-    triples = spark.read.parquet(f"{state_dir}/triples").select(
+    triples = _read_state(spark, f"{state_dir}/triples").select(
         "subj", "pred", "obj", "context"
     )
     nodes = _derive_nodes(spark, f"{state_dir}/nodes", f"{state_dir}/burls")
@@ -268,7 +313,7 @@ def _derive_edges(spark: SparkSession, state_dir: str, cfg: PipelineConfig) -> D
 def refresh_missing_nodes(spark: SparkSession, state_dir: str, cfg: PipelineConfig) -> DataFrame:
     """Unprocessed-node synthesis over the refreshed state (J2), for the
     create_unprocessed configuration."""
-    triples = spark.read.parquet(f"{state_dir}/triples").select(
+    triples = _read_state(spark, f"{state_dir}/triples").select(
         "subj", "pred", "obj", "context"
     )
     nodes = _derive_nodes(spark, f"{state_dir}/nodes", f"{state_dir}/burls")

@@ -68,6 +68,40 @@ def sql_kg_pipeline_triples():
     """
 
 
+def q_kg_refresh_incremental(spark, sf_dir):
+    """Incremental re-ingest (S14) under the hard gate: seed the
+    bucket-partitioned refresh state with the xxhash64-even HALF of the
+    corpus, then refresh with the full snapshot — the unchanged half is
+    skipped by the watermark diff (same-timestamp docs are never
+    re-extracted; only the new odd docs are), and the DERIVED edge set
+    must equal the full-pipeline build bit-for-bit, so the oracle is
+    sql_kg_pipeline_triples verbatim. The state write is part of the
+    measured operation, like ann_lsh_indexed's index write. The seed
+    snapshot is filtered AFTER the span lift so both snapshots carry the
+    same per-doc content (a v1 document's spans don't depend on corpus
+    size; the connector's count()-modular targets would otherwise differ
+    between the half and full lifts)."""
+    import os
+    import shutil
+    import tempfile
+
+    from knowledge_nexus_spark.operators.refresh import refresh_updated
+
+    flat = _t(spark, sf_dir, "documents")
+    docs = flat_docs_to_span_docs(flat)
+    seed = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+
+    state = os.path.join(
+        tempfile.gettempdir(),
+        "knx_refresh_gate_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    cfg = PipelineConfig(render_content=False)
+    refresh_updated(spark, seed, state, cfg)
+    res = refresh_updated(spark, docs, state, cfg)
+    return res.edges.select("subj", "pred", "obj").distinct()
+
+
 def q_kg_pipeline_media(spark, sf_dir):
     """The KG pipeline end-to-end over an INTERLEAVED text+media corpus
     (the north-rule input shape): the flat connector interleaves
@@ -4651,6 +4685,7 @@ def sql_docs_related():
 
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
+    "kg_refresh_incremental": q_kg_refresh_incremental,
     "kg_freshness_dedup": q_kg_freshness_dedup,
     "kg_orphan_clean": q_kg_orphan_clean,
     "kg_missing_endpoints": q_kg_missing_endpoints,
@@ -4765,6 +4800,9 @@ QUERIES = {
 
 ORACLE_SQL = {
     "kg_pipeline_triples": sql_kg_pipeline_triples(),
+    # the incremental refresh must derive the full rebuild's edge set
+    # exactly, so it shares kg_pipeline_triples' closed-form oracle
+    "kg_refresh_incremental": sql_kg_pipeline_triples(),
     "kg_freshness_dedup": sql_kg_freshness_dedup(),
     "kg_orphan_clean": sql_kg_orphan_clean(),
     "kg_missing_endpoints": sql_kg_missing_endpoints(),
