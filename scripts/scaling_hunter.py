@@ -125,20 +125,27 @@ def main() -> None:
             continue
 
         quiet_hits += 1
-        probe_n = cpu_probe()
+        probe_x4 = cpu_probe()
         try:
-            low = run_config(1, corpus, repeats)
-            # protocol v3 (execution R onward): RE-GATE between the halves.
-            # Execution Q's failure mode was between-half drift — the
-            # admission gate found the START of a quiet interval, the N
-            # half consumed it, and the 4N half measured the next burst
-            # (or vice versa). A mid-gate makes admission STRICTLY
-            # stricter (it can only reject more pairs, never flatter the
-            # median): both halves must now sit inside one verified-quiet
-            # interval. Earlier executions' classifications are untouched.
-            mid_gate = run_config(4, gate_corpus)
-            probe_x4 = cpu_probe()
+            # protocol v4 (execution S onward): 4N half FIRST, then the
+            # v3 mid-gate, then the N half, then a TRAILING gate.
+            # Rationale: (a) the 4N half is the burst-sensitive one AND
+            # the one whose inflation DEFLATES measured efficiency (the
+            # conservative direction), so it should consume the interval
+            # the admission gate just verified — under v3 ordering it ran
+            # ~10 min after admission (3 N repeats at 2x corpus) and the
+            # S-execution mid-gates showed the quiet interval rarely
+            # survives that long; (b) the N half, whose inflation would
+            # FLATTER efficiency, is now bracketed by two gates (mid +
+            # end) on top of the absolute in-band cap on its minimum.
+            # Three quiet gates per pair vs v3's two — admission is
+            # strictly stricter; only the half ORDER changed. All prior
+            # executions' classifications are untouched.
             high = run_config(4, corpus, repeats)
+            mid_gate = run_config(4, gate_corpus)
+            probe_n = cpu_probe()
+            low = run_config(1, corpus, repeats)
+            end_gate = run_config(4, gate_corpus)
         except RuntimeError as e:
             _append({"kind": "pair_failed", "gate_wall": gate["wall_sec"],
                      "err": str(e)})
@@ -149,14 +156,18 @@ def main() -> None:
         n_wall = min(low["walls"])
         x4_wall = min(high["walls"])
         eff = round(n_wall / (4.0 * x4_wall), 3)
-        mid_quiet = mid_gate["wall_sec"] <= gate_quiet_s
-        quiet = n_wall <= n_wall_max and x4_wall <= x4_wall_max and mid_quiet
+        gates_quiet = (
+            mid_gate["wall_sec"] <= gate_quiet_s
+            and end_gate["wall_sec"] <= gate_quiet_s
+        )
+        quiet = n_wall <= n_wall_max and x4_wall <= x4_wall_max and gates_quiet
         pair = {
             "kind": "pair",
             "estimator": f"min-of-{repeats}",
-            "protocol": "v3-midgate",
+            "protocol": "v4-4nfirst-endgate",
             "gate_wall": gate["wall_sec"],
             "mid_gate_wall": mid_gate["wall_sec"],
+            "end_gate_wall": end_gate["wall_sec"],
             "n": low,
             "x4": high,
             "n_wall_min": n_wall,
@@ -187,7 +198,8 @@ def main() -> None:
     _append(summary)
 
     rows = "\n".join(
-        f"| {i+1} | {p['gate_wall']} / {p.get('mid_gate_wall', '—')} | "
+        f"| {i+1} | {p['gate_wall']} / {p.get('mid_gate_wall', '—')}"
+        f" / {p.get('end_gate_wall', '—')} | "
         f"{p.get('n_wall_min', p['n']['wall_sec'])} ({'/'.join(str(w) for w in p['n']['walls'])}) | "
         f"{p.get('x4_wall_min', p['x4']['wall_sec'])} ({'/'.join(str(w) for w in p['x4']['walls'])}) | "
         f"{p['probe_n']} / {p['probe_x4']} | "
@@ -205,14 +217,16 @@ nothing dropped; min-of-k is the standard noise-floor estimator and the
 only discard mode it has is dropping burst-inflated outliers). A pair
 is quiet-window evidence only if BOTH min walls are in-band (N <=
 {n_wall_max:.1f} s, 4N <= {x4_wall_max:.1f} s — the 600k-calibrated
-bands scaled linearly to this corpus) AND the mid-gate between the
-halves is also quiet (protocol v3 — rejects the between-half drift
-that contaminated execution Q; strictly stricter than v2). Every gate and every pair is in
-BENCH/SCALING_HUNT.jsonl.
+bands scaled linearly to this corpus) AND both the mid-gate between the
+halves and the trailing end-gate are quiet (protocol v4 — 4N half first,
+so the burst-sensitive, conservative-direction half consumes the
+verified-quiet interval; the N half, whose inflation would flatter the
+ratio, is bracketed by two gates; strictly stricter than v3's two-gate
+admission). Every gate and every pair is in BENCH/SCALING_HUNT.jsonl.
 
 Gates run: {gates}; gate quiet hits: {quiet_hits}; pairs: {len(pairs)}.
 
-| pair | gate / mid-gate wall (s) | N wall (s) | 4N wall (s) | probe N / 4N | efficiency | quiet? |
+| pair | gate / mid / end wall (s) | N wall (s) | 4N wall (s) | probe N / 4N | efficiency | quiet? |
 |---|---|---|---|---|---|---|
 {rows}
 
