@@ -93,8 +93,10 @@ def rolling_hash(text: Column, base: int = 31, mod: int = (1 << 61) - 1) -> Colu
 
 # Deliberately conservative patterns that mean the same thing to Java's
 # regex engine (Spark) and RE2 (DuckDB): character classes, bounded
-# quantifiers and \b only — no lookaround, no backrefs.
-PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# quantifiers and \b only — no lookaround, no backrefs. Case-insensitivity
+# is spelled as explicit A-Z ranges (not (?i)) so the pattern string is
+# byte-identical in both engines' oracles.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 PII_PHONE_RE = r"\b555-[0-9]{4}\b"
 
 

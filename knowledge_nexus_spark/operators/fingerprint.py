@@ -57,6 +57,17 @@ def _fps_array(
     lambda body — where it would be re-evaluated once per element.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # The sub-k guard plans as Filter(size(split(...)) >= k) BELOW the
+    # token Project — i.e. the tokenizer is evaluated twice per kept row
+    # (verified: predicate pushdown re-inlines the alias either way this
+    # is phrased). Accepted deliberately: the extra pass is one split()
+    # over text, ~1-2% of the per-row cost next to the md5-per-shingle
+    # transform it protects, and it PRUNES sub-k rows before that
+    # dominant stage. Every above-the-Project formulation is worse: a
+    # trailing filter on a computed array column gets substituted into a
+    # Filter containing the whole nested program (the same
+    # InferFiltersFromGenerate/pushdown trap documented on
+    # winnow_fingerprints' explode_outer).
     staged = df.filter(F.size(toks) >= k).select(
         F.col(id_col), toks.alias("_tk")
     )

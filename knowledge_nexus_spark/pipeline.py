@@ -339,6 +339,7 @@ def run_pipeline(
         )
         extra_edges = link_edges if extra_edges is None else extra_edges.unionByName(link_edges)
 
+    media_nodes = None
     if cfg.with_media:
         from knowledge_nexus_spark.multimodal import media_graph
 
@@ -349,6 +350,12 @@ def run_pipeline(
             )
 
         media_edges = ck.load_or_compute("s7_media", _media)
+        # nodes for the same media refs — without them every HAS_MEDIA
+        # edge would dangle (build_graph unions them too, pipeline
+        # twin-parity pinned by test_run_pipeline_media_nodes)
+        media_nodes = ck.load_or_compute(
+            "s7_media_nodes", lambda: media_graph(docs)[0]
+        )
         extra_edges = (
             media_edges
             if extra_edges is None
@@ -382,6 +389,10 @@ def run_pipeline(
         final_nodes = ck.load_or_compute(
             "s7_nodes_final", lambda: add_missing_nodes(ck.load("s2_triples_raw"), nodes)
         )
+    if media_nodes is not None:
+        # after add_missing_nodes: media refs are never triple endpoints
+        # (extraction has no media arm), same ordering as build_graph
+        final_nodes = final_nodes.unionByName(media_nodes)
 
     ck.write_run_metrics()
     return ck, final_nodes, edges, chunks

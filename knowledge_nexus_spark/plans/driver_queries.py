@@ -4276,10 +4276,10 @@ def sql_text_pii_redact():
                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS doc_full
       FROM documents)
     SELECT doc_id,
-           CAST(len(regexp_extract_all(doc_full, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(doc_full, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
            CAST(len(regexp_extract_all(doc_full, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phone,
            md5(regexp_replace(regexp_replace(doc_full,
-                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
                  '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
     FROM aug ORDER BY doc_id
     """

@@ -35,15 +35,31 @@ def stream_dedup(
     """First-wins dedup on ``key_cols`` with per-key state expiring one
     watermark interval after the key was last admitted.
 
-    On a batch DataFrame the same call site degrades to a plain
-    ``dropDuplicates`` (Spark REJECTS ``dropDuplicatesWithinWatermark``
-    on batch input — it is streaming-only; verified on PySpark 4.1.2).
-    Batch has no late data, so keep-one-per-key IS the within-watermark
-    semantic there, and one definition still serves both paths."""
+    On a batch DataFrame the same call site degrades to keep-one-per-key
+    (Spark REJECTS ``dropDuplicatesWithinWatermark`` on batch input — it
+    is streaming-only; verified on PySpark 4.1.2). Batch has no arrival
+    order, so "first" is re-anchored to event time: the survivor is the
+    min over (ts, remaining columns) — an order-insensitive argmin, never
+    ``dropDuplicates``, whose survivor is partition-order dependent and
+    would make re-runs of the same batch disagree under different
+    AQE/partitioning decisions (same rule as multimodal.media_graph)."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     if not df.isStreaming:
-        return df.dropDuplicates(list(key_cols))
+        rest = [c for c in df.columns if c not in key_cols]
+        if not rest:
+            # every column is a key: duplicates are identical rows, so
+            # dropDuplicates is deterministic here
+            return df.dropDuplicates(list(key_cols))
+        # ts first in the struct: event-time-first wins; the remaining
+        # columns are a total-order tiebreak for exact-ts duplicates.
+        ordered = sorted(rest, key=lambda c: (c != ts_col, c))
+        picked = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+            F.min(F.struct(*[F.col(c) for c in ordered])).alias("_row")
+        )
+        return picked.select(
+            *key_cols, *[F.col(f"_row.{c}").alias(c) for c in rest]
+        ).select(*df.columns)
     # Watermarks only accept TIMESTAMP; parquet sources often carry
     # TIMESTAMP_NTZ.
     d = df.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(

@@ -3,7 +3,10 @@
 The reference's incremental story is batch CDC keyed on last_edited_time
 (notion_provider.py:315-319; neo4j_manager.py:183-186). Here the same
 semantics run continuously: a file-source stream of document batches →
-freshness dedup within the batch → triple extraction → ``foreachBatch``
+freshness dedup within the batch → stored-watermark admission (a
+per-subject last_edited_time sidecar rejects out-of-order OLDER document
+versions, refresh.py's strictly-newer CDC guard carried across batches)
+→ triple extraction → ``foreachBatch``
 MERGE into the edges snapshot as a keyed DELETE+INSERT: every triple's
 subj is its source document's normalized id (extract.py:345), so deleting
 the batch documents' subj keys and inserting their re-extracted triples
@@ -32,6 +35,17 @@ from knowledge_nexus_spark.schema import DOCUMENTS_SCHEMA
 
 N_BUCKETS = 64
 _MERGE_KEY = ["subj", "pred", "obj", "context"]
+
+
+def _meta_path(edges_path: str) -> str:
+    """Sidecar per-subject freshness watermark (subj, last_edited_time),
+    bucket-partitioned with the SAME hash as the edges snapshot so both
+    prune together. This is what makes the MERGE safe under out-of-order
+    delivery: refresh.py guards with a stored-watermark comparison
+    (refresh.py:238-247) and the streaming path must too, or a late batch
+    carrying an OLDER version of a document would delete the newer
+    edges and re-insert stale ones."""
+    return edges_path.rstrip("/") + "_meta"
 
 
 def _bucket_of(col):
@@ -70,26 +84,54 @@ def merge_edges_batch(batch_df: DataFrame, epoch_id: int, edges_path: str) -> No
     delete v1's edges), and two versions of one document inside a single
     micro-batch collapse to the newest before extraction.
 
+    Out-of-order-safe: a per-subject watermark sidecar (``_meta_path``)
+    stores each document's last applied ``last_edited_time``; batch rows
+    not newer-or-equal than the stored watermark are REJECTED before the
+    delete key set is built, so a late/backfilled batch carrying an older
+    version can never regress the snapshot — the streaming equivalent of
+    refresh.py's strictly-newer CDC filter.
+
     Idempotent under retries: the merged content of a partition is a pure
-    function of (snapshot partition, batch) — the anti-join removes the
-    batch's subj keys before re-inserting them — so rewriting it twice
-    yields identical bytes; no epoch-suffixed staging dirs to leak."""
+    function of (snapshot partition, meta partition, batch) — admission is
+    ``>=`` the stored watermark, so replaying the last batch re-admits the
+    same rows and the anti-join + re-insert rewrites identical bytes; no
+    epoch-suffixed staging dirs to leak."""
     from knowledge_nexus_spark.functions.extract import normalize_uuid_col
     from knowledge_nexus_spark.operators.graphops import freshness_dedup
 
     spark = batch_df.sparkSession
-    latest = freshness_dedup(batch_df)
-    subjects = (
-        latest.select(normalize_uuid_col(F.col("doc_id")).alias("subj"))
-        .distinct()
-        .withColumn("bucket", _bucket_of(F.col("subj")))
-        .localCheckpoint(eager=True)
-    )
+    meta_path = _meta_path(edges_path)
+    latest = freshness_dedup(batch_df).withColumn(
+        "subj", normalize_uuid_col(F.col("doc_id"))
+    ).withColumn("bucket", _bucket_of(F.col("subj")))
+
+    if _snapshot_exists(spark, meta_path):
+        cand_buckets = [
+            r.bucket for r in latest.select("bucket").distinct().collect()
+        ]
+        if not cand_buckets:
+            return
+        stored_meta = (
+            spark.read.parquet(meta_path)
+            .filter(F.col("bucket").isin(cand_buckets))  # partition-pruned
+            .select("subj", F.col("last_edited_time").alias("_stored_ts"))
+        )
+        latest = (
+            latest.join(stored_meta, "subj", "left")
+            .filter(
+                F.col("_stored_ts").isNull()
+                | (F.col("last_edited_time") >= F.col("_stored_ts"))
+            )
+            .drop("_stored_ts")
+        )
+
+    latest = latest.localCheckpoint(eager=True)
+    subjects = latest.select("subj", "bucket").distinct()
     touched = [r.bucket for r in subjects.select("bucket").distinct().collect()]
     if not touched:
         return
     new_edges = (
-        extract_triples_native(content_docs(latest))
+        extract_triples_native(content_docs(latest.drop("subj", "bucket")))
         .withColumn("context", F.coalesce(F.col("context"), F.lit("")))
         .dropDuplicates(_MERGE_KEY)
         .withColumn("bucket", _bucket_of(F.col("subj")))
@@ -128,6 +170,31 @@ def merge_edges_batch(batch_df: DataFrame, epoch_id: int, edges_path: str) -> No
         fs = p.getFileSystem(conf)
         if fs.exists(p):
             fs.delete(p, True)
+
+    # Advance the per-subject watermark sidecar for the admitted docs —
+    # same touched-partitions-only rewrite as the edges themselves. A
+    # touched meta bucket is never emptied (every admitted subj writes a
+    # meta row into its own bucket), so no emptied-bucket sweep here.
+    new_meta = latest.groupBy("subj", "bucket").agg(
+        F.max("last_edited_time").alias("last_edited_time")
+    )
+    if _snapshot_exists(spark, meta_path):
+        kept_meta = (
+            spark.read.parquet(meta_path)
+            .filter(F.col("bucket").isin(touched))
+            .select("subj", "last_edited_time", "bucket")
+            .join(subjects.select("subj"), "subj", "left_anti")
+        )
+        new_meta = kept_meta.unionByName(
+            new_meta.select("subj", "last_edited_time", "bucket")
+        )
+    new_meta = new_meta.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        new_meta.write.mode("overwrite").partitionBy("bucket").parquet(meta_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def incremental_ingest(

@@ -469,3 +469,108 @@ def test_span_integrity_digest_is_order_and_field_sensitive(spark):
     digests = {r.doc_id: r.d for r in docs.select("doc_id", FF.md5(ser).alias("d")).collect()}
     assert len(set(digests.values())) == len(variants)  # all six distinct
     # offset intentionally excluded: order is carried by array position
+
+
+def test_run_pipeline_media_nodes_no_dangling_endpoints(spark, tmp_path):
+    """run_pipeline(with_media=True) must union media NODES like its
+    build_graph twin — without them every HAS_MEDIA edge dangles (its obj
+    has no node row) and a nodes⋈edges consumer silently drops the media
+    half (code-review finding, round 4)."""
+    from knowledge_nexus_spark.pipeline import PipelineConfig, build_graph, run_pipeline
+
+    docs = generate_documents(spark, CFG)
+    cfg = PipelineConfig(with_chunks=False, with_media=True, render_content=False)
+    _, nodes, edges, _ = run_pipeline(spark, docs, str(tmp_path), cfg)
+
+    media_objs = {
+        r.obj for r in edges.filter("pred = 'HAS_MEDIA'").select("obj").collect()
+    }
+    assert media_objs, "fixture must produce media edges"
+    node_ids = {r.id for r in nodes.select("id").collect()}
+    assert media_objs <= node_ids  # every media endpoint resolves
+
+    # twin parity: identical media node set as build_graph
+    twin = build_graph(spark, docs, cfg)
+    want = {
+        (r.id, r.type) for r in twin.nodes.filter("source = 'Media'").collect()
+    }
+    got = {(r.id, r.type) for r in nodes.filter("source = 'Media'").collect()}
+    assert got == want
+    twin.unpersist()
+
+
+def test_streaming_merge_rejects_out_of_order_older_version(spark, tmp_path):
+    """An out-of-order batch carrying an OLDER version of a document must
+    NOT regress the snapshot (per-subject watermark sidecar — refresh.py's
+    strictly-newer CDC guard carried across micro-batches; code-review
+    finding, round 4). A same-version replay (retry) must be a byte-level
+    no-op."""
+    from knowledge_nexus_spark.functions.extract import (
+        extract_triples_native,
+        normalize_uuid_col,
+    )
+    from knowledge_nexus_spark.operators.graphops import content_docs
+    from knowledge_nexus_spark.streaming.ingest import merge_edges_batch
+
+    docs = generate_documents(spark, CFG)
+    edges_path = str(tmp_path / "edges")
+
+    def snapshot_for(subj):
+        return {
+            (r.subj, r.pred, r.obj, r.context)
+            for r in spark.read.parquet(edges_path)
+            .filter(F.col("subj") == subj)
+            .select("subj", "pred", "obj", "context")
+            .collect()
+        }
+
+    def extracted(batch):
+        return {
+            (r.subj, r.pred, r.obj, r.context)
+            for r in extract_triples_native(content_docs(batch))
+            .withColumn("context", F.coalesce(F.col("context"), F.lit("")))
+            .select("subj", "pred", "obj", "context")
+            .collect()
+        }
+
+    some_subj = (
+        extract_triples_native(content_docs(docs)).select("subj").first().subj
+    )
+    v1 = (
+        docs.withColumn("_subj", normalize_uuid_col(F.col("doc_id")))
+        .filter(F.col("_subj") == some_subj)
+        .drop("_subj")
+        .localCheckpoint(eager=True)
+    )
+    merge_edges_batch(docs, 0, edges_path)
+
+    # v2 rewrites the doc (newer ts, fewer spans) — applied
+    v2 = (
+        v1.withColumn("last_edited_time", F.lit("2030-06-01T00:00:00.000001Z"))
+        .withColumn("spans", F.filter("spans", lambda s: s["kind"] != "link_to_page"))
+        .localCheckpoint(eager=True)
+    )
+    merge_edges_batch(v2, 1, edges_path)
+    want_v2 = extracted(v2)
+    assert snapshot_for(some_subj) == want_v2
+    assert extracted(v1) != want_v2
+
+    # late re-delivery of the ORIGINAL v1 (older ts) — must be rejected
+    merge_edges_batch(v1, 2, edges_path)
+    assert snapshot_for(some_subj) == want_v2, "older version regressed the snapshot"
+
+    # retry of v2 (equal ts) — idempotent, snapshot unchanged
+    before = {
+        (r.subj, r.pred, r.obj, r.context)
+        for r in spark.read.parquet(edges_path)
+        .select("subj", "pred", "obj", "context")
+        .collect()
+    }
+    merge_edges_batch(v2, 3, edges_path)
+    after = {
+        (r.subj, r.pred, r.obj, r.context)
+        for r in spark.read.parquet(edges_path)
+        .select("subj", "pred", "obj", "context")
+        .collect()
+    }
+    assert after == before

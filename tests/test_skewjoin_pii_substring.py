@@ -90,6 +90,7 @@ def test_redact_pii_boundaries(spark):
             (1, "call 555-1234"),  # phone at end-of-string boundary
             (2, "5555-1234 not a phone, 555-123 too short"),
             (3, "two bob@x.io ted@y.ai emails"),
+            (4, "mail John.Doe@Gmail.COM mixed case"),
         ],
         "id long, t string",
     )
@@ -98,3 +99,6 @@ def test_redact_pii_boundaries(spark):
     assert got[1] == "call <PHONE>"
     assert got[2] == "5555-1234 not a phone, 555-123 too short"
     assert got[3] == "two <EMAIL> <EMAIL> emails"
+    # uppercase local part / domain must redact too (code-review finding,
+    # round 4: the lowercase-only class let Gmail.com addresses leak)
+    assert got[4] == "mail <EMAIL> mixed case"

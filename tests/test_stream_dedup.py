@@ -108,3 +108,32 @@ def test_stream_dedup_batch_fallback(spark):
     got = stream_dedup(tripled, ["event_id"], watermark="1 hour")
     assert not got.isStreaming
     assert got.count() == ev.select("event_id").distinct().count()
+
+
+def test_stream_dedup_batch_fallback_is_deterministic(spark):
+    """The batch fallback's survivor must be the event-time-first row
+    (min over (ts, tiebreak)), independent of partitioning — a plain
+    dropDuplicates keeps a partition-order-dependent row (code-review
+    finding, round 4)."""
+    rows = [
+        ("k1", "2024-01-01 00:00:02", "late"),
+        ("k1", "2024-01-01 00:00:01", "first"),
+        ("k1", "2024-01-01 00:00:03", "latest"),
+        ("k2", "2024-01-01 00:00:05", "only"),
+        ("k3", "2024-01-01 00:00:07", "b"),  # exact-ts tie: payload breaks it
+        ("k3", "2024-01-01 00:00:07", "a"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, payload string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    want = {("k1", "first"), ("k2", "only"), ("k3", "a")}
+    for parts in (1, 3, 7):
+        got = {
+            (r.k, r.payload)
+            for r in stream_dedup(df.repartition(parts), ["k"]).collect()
+        }
+        assert got == want, parts
+    # column order preserved
+    assert stream_dedup(df, ["k"]).columns == df.columns
+    # all-columns-key edge case still works
+    assert stream_dedup(df, ["k", "ts", "payload"]).count() == 6

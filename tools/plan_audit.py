@@ -21,8 +21,10 @@ registry escapes it, including queries added in a hurry. Checks:
   - widest parquet ReadSchema per query (column pruning telemetry: the
     documents scan must not read `spans` unless the query renders spans).
 
-Planning only — `df._jdf.queryExecution().sparkPlan()` forces analysis +
-optimization + physical planning but executes nothing, so the sweep is
+Planning only — `df._jdf.queryExecution().executedPlan()` forces analysis
++ optimization + physical planning + EnsureRequirements (so Exchange
+nodes ARE present; with AQE the AdaptiveSparkPlan wrapper prints its
+initial plan) but executes nothing — toString is lazy, so the sweep is
 cheap at any SF. AQE may still improve joins at runtime (SMJ -> BHJ), so
 sort-merge joins are reported, never flagged.
 
