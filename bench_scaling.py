@@ -116,6 +116,11 @@ def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
             # thresholds); a driver-built broadcast would also serialize
             # hash-table construction, under-measuring executor scaling
             "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # finer input splits: at 128 MB the 1.2M-doc corpus packs into
+            # 8 scan tasks — exactly one wave at 4N (8 cores), so a single
+            # slow split extends the whole stage with zero work-stealing
+            # slack. 32 MB gives ~32 splits: 4 waves at 4N, same at N.
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
         },
     )
     docs = spark.read.parquet(corpus_path)

@@ -173,33 +173,47 @@ def clean_orphans(
             .join(ids, triples["obj"] == ids["id"], "left_semi")
         )
 
-    hot_rows = (
+    # LAZY hub handling — no driver round trip. The earlier form collected
+    # the hot set eagerly and injected it as an isin() literal; that bought
+    # shuffle-freedom for hub rows at the cost of 2 synchronous collects +
+    # 4 driver-serialized stages on the critical path BEFORE any sink could
+    # start (profiled: ~11 s of 4N-invariant wall at 1.2M docs — the
+    # dominant term of the measured N→4N non-scaling overhead). Broadcast
+    # semi/anti joins give the identical split with zero driver sync: hub
+    # rows stream past a broadcast hash set (no shuffle, no skewed reducer
+    # — AQE's skew rule still cannot fire on LeftSemi), and the whole
+    # subtree is lazy, so the edges job overlaps the nodes sink.
+    #
+    # The 10k cap (broadcast-size bound) must be DETERMINISTIC here: the
+    # hot subtree is referenced by two branches, and a bare limit() could
+    # legitimately pick two different subsets when the branches execute —
+    # rows of a key hot in one branch but not the other would be dropped.
+    # TakeOrderedAndProject on (count desc, obj) pins one subset; the sort
+    # input is already ≤ (total_rows / hot_key_min_count) keys, so it is
+    # tiny by construction.
+    hot = (
         triples.groupBy("obj")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= hot_key_min_count)
-        .limit(10_000)  # heavy hitters are few by definition; bound the collect
-        .collect()
+        .orderBy(F.desc("_n"), "obj")
+        .limit(10_000)
+        .select("obj")
     )
-    hot_keys = [r["obj"] for r in hot_rows]
-    if not hot_keys:
-        return (
-            triples.join(ids, triples["subj"] == ids["id"], "left_semi")
-            .join(ids, triples["obj"] == ids["id"], "left_semi")
-        )
-    hot_valid = {
-        r["id"] for r in ids.filter(F.col("id").isin(hot_keys)).collect()
-    }
+    # validity of a hub key (does it exist in nodes?) rides inside the
+    # broadcast subtree instead of a second collect
+    hot_valid_f = hot.join(ids, hot["obj"] == ids["id"], "left_semi")
 
-    # split BEFORE joining: hub rows pass the obj check as a literal
-    # predicate and only need the (un-skewed) subj semi-join; the rest
-    # flows through both semi-joins with uniform key distribution
+    # split BEFORE joining: hub rows pass the obj check against the
+    # broadcast hash set (shuffle-free) and only need the (un-skewed) subj
+    # semi-join; the rest flows through both shuffle semi-joins with
+    # uniform key distribution
     hot_branch = (
-        triples.filter(F.col("obj").isin(list(hot_valid)) if hot_valid else F.lit(False))
-        .join(ids, triples["subj"] == ids["id"], "left_semi")
+        triples.join(F.broadcast(hot_valid_f), "obj", "left_semi")
+        .join(ids, F.col("subj") == ids["id"], "left_semi")
     )
     rest = (
-        triples.filter(~F.col("obj").isin(hot_keys))
-        .join(ids, triples["subj"] == ids["id"], "left_semi")
+        triples.join(F.broadcast(hot), "obj", "left_anti")
+        .join(ids, F.col("subj") == ids["id"], "left_semi")
         .join(ids, F.col("obj") == ids["id"], "left_semi")
     )
     return hot_branch.unionByName(rest)

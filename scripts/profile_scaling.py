@@ -43,6 +43,7 @@ def run_profiled(n_docs: int, n_executors: int, log_dir: str) -> float:
         extra_conf={
             "spark.executor.memory": "6g",
             "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
         },
