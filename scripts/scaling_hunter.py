@@ -53,6 +53,8 @@ from bench_scaling import (  # noqa: E402
 
 N_WALL_MAX = 115.0      # quiet N walls 92-95 s + margin (at 600k docs)
 X4_WALL_MAX = 40.0      # quiet 4N walls ~30 s + margin (at 600k docs)
+CLASSIFY_GATE_S = 21.0  # fixed mid/end-gate quiet band for CLASSIFICATION
+# (execution-S precedent); the CLI gate_quiet_s only gates SPENDING
 BAND_REF_DOCS = 600_000  # the corpus the bands were calibrated on; for
 # other corpus sizes the in-band maxima scale linearly with n_docs (the
 # pipeline is a fixed number of linear passes — per-doc work dominates
@@ -156,15 +158,23 @@ def main() -> None:
         n_wall = min(low["walls"])
         x4_wall = min(high["walls"])
         eff = round(n_wall / (4.0 * x4_wall), 3)
+        # classification band is FIXED (protocol constant) so pairs
+        # aggregate across executions regardless of the CLI spend gate —
+        # previously this reused gate_quiet_s, so a tightened spend gate
+        # silently tightened classification too, contradicting the
+        # docstring's no-protocol-drift rule. 21.0 s is the band the
+        # execution-S record already applied ("mid-gate 21.1 — 0.1 s over
+        # the 21.0 band").
         gates_quiet = (
-            mid_gate["wall_sec"] <= gate_quiet_s
-            and end_gate["wall_sec"] <= gate_quiet_s
+            mid_gate["wall_sec"] <= CLASSIFY_GATE_S
+            and end_gate["wall_sec"] <= CLASSIFY_GATE_S
         )
         quiet = n_wall <= n_wall_max and x4_wall <= x4_wall_max and gates_quiet
         pair = {
             "kind": "pair",
             "estimator": f"min-of-{repeats}",
             "protocol": "v4-4nfirst-endgate",
+            "classify_gate_s": CLASSIFY_GATE_S,
             "gate_wall": gate["wall_sec"],
             "mid_gate_wall": mid_gate["wall_sec"],
             "end_gate_wall": end_gate["wall_sec"],
