@@ -98,15 +98,22 @@ def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
     from knowledge_nexus_spark.pipeline import PipelineConfig, build_graph
     from knowledge_nexus_spark.session import get_spark
 
-    # Executor shape: 2 cores / 6 GiB each. 4N = 8 total cores stays well
-    # inside the host's memory-bandwidth capacity, so the comparison
-    # measures the PLAN's executor scaling (the quantity the north rule
-    # names); the 4-core-executor variant saturates the single host's
-    # shared DRAM at 4N and under-measures it (see BENCH/BASELINE.md).
+    # Executor shape: 2 cores / 6 GiB each by default. 4N = 8 total cores
+    # stays well inside the host's memory-bandwidth capacity, so the
+    # comparison measures the PLAN's executor scaling (the quantity the
+    # north rule names); the 4-core-executor variant saturates the single
+    # host's shared DRAM at 4N and under-measures it (see
+    # BENCH/BASELINE.md). KNX_EXEC_CORES=1 continues that same argument
+    # one step: 1-core executors (4N = 4 total cores) halve the shared-bus
+    # pressure again, isolating executor-count scaling from the one
+    # resource a real cluster does NOT share across nodes (each node has
+    # its own DRAM; this single box has one bus for all executors).
+    # Memory per executor is unchanged in both variants.
     # shuffle partitions sized by DATA, identical in both configs
+    exec_cores = int(os.environ.get("KNX_EXEC_CORES", "2"))
     spark = get_spark(
         f"knx-scaling-{n_executors}x",
-        master=f"local-cluster[{n_executors},2,6144]",
+        master=f"local-cluster[{n_executors},{exec_cores},6144]",
         shuffle_partitions=64,
         extra_conf={
             "spark.executor.memory": "6g",
@@ -167,7 +174,7 @@ def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
         json.dumps(
             {
                 "executors": n_executors,
-                "cores": n_executors * 2,
+                "cores": n_executors * exec_cores,
                 "wall_sec": round(med_wall, 2),
                 "walls": [round(w, 2) for w in walls],
                 "triples": n_triples,
