@@ -63,8 +63,14 @@ GATE_QUIET_S = 24.0
 SLEEP_BETWEEN_GATES_S = 45.0
 
 
-def run_config(n_executors: int, corpus_path: str, repeats: int = 1) -> dict:
+def run_config(
+    n_executors: int, corpus_path: str, repeats: int = 1, exec_cores: int = 2
+) -> dict:
     """One measured configuration, in a fresh subprocess/JVM.
+
+    ``exec_cores`` is passed explicitly on the subprocess argv (round-5
+    ADVICE: the previous KNX_EXEC_CORES env mutation around call sites
+    could leak into reference gates on any non-RuntimeError exception).
 
     Raises RuntimeError (never IndexError/JSONDecodeError) when the
     subprocess dies, times out, or emits no result line — a multi-hour
@@ -72,7 +78,10 @@ def run_config(n_executors: int, corpus_path: str, repeats: int = 1) -> dict:
     keep hunting instead of crashing with no record."""
     try:
         out = subprocess.run(
-            [sys.executable, __file__, "--run", str(n_executors), corpus_path, str(repeats)],
+            [
+                sys.executable, __file__, "--run",
+                str(n_executors), corpus_path, str(repeats), str(exec_cores),
+            ],
             capture_output=True,
             text=True,
             timeout=3000,
@@ -94,7 +103,9 @@ def run_config(n_executors: int, corpus_path: str, repeats: int = 1) -> dict:
         )
 
 
-def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
+def _run_single(
+    n_executors: int, corpus_path: str, repeats: int, exec_cores: int = 2
+) -> None:
     from knowledge_nexus_spark.pipeline import PipelineConfig, build_graph
     from knowledge_nexus_spark.session import get_spark
 
@@ -109,8 +120,8 @@ def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
     # resource a real cluster does NOT share across nodes (each node has
     # its own DRAM; this single box has one bus for all executors).
     # Memory per executor is unchanged in both variants.
+    # exec_cores arrives on the argv (no env channel — see run_config);
     # shuffle partitions sized by DATA, identical in both configs
-    exec_cores = int(os.environ.get("KNX_EXEC_CORES", "2"))
     spark = get_spark(
         f"knx-scaling-{n_executors}x",
         master=f"local-cluster[{n_executors},{exec_cores},6144]",
@@ -187,6 +198,9 @@ def _run_single(n_executors: int, corpus_path: str, repeats: int) -> None:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    # honored AND recorded (round-5 ADVICE: a direct run with the env var
+    # set previously wrote an MD/JSON record describing the 2-core shape)
+    exec_cores = int(os.environ.get("KNX_EXEC_CORES", "2"))
 
     # corpus generated once, persisted, shared by both configs
     from bench import ensure_corpus
@@ -199,9 +213,9 @@ def main() -> None:
     pairs = []
     for k in range(n_pairs):
         probe_n = cpu_probe()
-        low = run_config(1, corpus_path)   # N executors, one timed run
+        low = run_config(1, corpus_path, exec_cores=exec_cores)   # N executors
         probe_x4 = cpu_probe()
-        high = run_config(4, corpus_path)  # 4N executors, one timed run
+        high = run_config(4, corpus_path, exec_cores=exec_cores)  # 4N executors
         eff = (high["triples_per_sec"] / low["triples_per_sec"]) / 4.0
         pairs.append(
             {
@@ -222,6 +236,7 @@ def main() -> None:
 
     summary = {
         "n_docs": n_docs,
+        "exec_cores": exec_cores,
         "protocol": f"interleaved pairs={n_pairs}, 1 timed run per config per pair",
         "paired_efficiencies": effs,
         "median_efficiency": med_eff,
@@ -248,8 +263,9 @@ edges; nodes + edges materialized, sinks overlapped) over the persisted
 {n_docs}-document interleaved-span corpus ({low["triples"]} distinct
 triples), identical bytes in for both configurations.
 
-`local-cluster[N,2,6144]`: N=1 vs 4N=4 separate executor JVMs (2 cores /
-6 GiB each). {n_pairs} interleaved pairs; each pair = one timed N run
+`local-cluster[N,{exec_cores},6144]`: N=1 vs 4N=4 separate executor JVMs
+({exec_cores} core{"s" if exec_cores != 1 else ""} / 6 GiB each).
+{n_pairs} interleaved pairs; each pair = one timed N run
 then one timed 4N run back-to-back in fresh JVMs (codegen primed by an
 untimed small-slice run). Headline = MEDIAN of per-pair efficiencies,
 all pairs reported, nothing dropped. `probe` = single-core fixed-work
@@ -272,6 +288,11 @@ triples/sec).
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--run":
-        _run_single(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        _run_single(
+            int(sys.argv[2]),
+            sys.argv[3],
+            int(sys.argv[4]),
+            int(sys.argv[5]) if len(sys.argv) > 5 else 2,
+        )
     else:
         main()

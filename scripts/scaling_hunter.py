@@ -99,16 +99,35 @@ def main() -> None:
     gen.stop()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    # KNX_EXEC_CORES applies ONLY to the measured halves (popped here so
-    # the reference GATES always run the standard 2-core shape and stay
-    # comparable to every historical gate). The in-band wall maxima scale
-    # by 2/cores: halving total cores ~doubles quiet walls for this
-    # compute-bound pipeline, keeping the criterion equally strict
-    # relative to the workload.
+    # KNX_EXEC_CORES applies ONLY to the measured halves (popped here and
+    # passed as an EXPLICIT run_config argument — round-5 ADVICE: the env
+    # var previously wrapped the measured calls with set/del and could
+    # leak into reference gates on a non-RuntimeError exception). Gates
+    # always run the standard 2-core shape and stay comparable to every
+    # historical gate.
     half_cores = int(os.environ.pop("KNX_EXEC_CORES", "2"))
-    band_scale = (n_docs / BAND_REF_DOCS) * (2.0 / half_cores)
-    n_wall_max = N_WALL_MAX * band_scale
-    x4_wall_max = X4_WALL_MAX * band_scale
+    # In-band wall maxima per executor-core shape. Round-5 ADVICE: the
+    # 1-core bands are CALIBRATED from observed quiet minima, not
+    # extrapolated by 2/cores (execution-U record, 600k docs: quiet
+    # N-half minima 158-174 s, 4N-half minima 46.6-52.6 s -> caps 195/60
+    # with the same ~1.15-1.25x margin the 2-core bands carry over their
+    # observed 92-95 / ~30 s quiet walls). The old 2/cores extrapolation
+    # gave 230/80 — loose enough to admit ~40% N-half inflation, the
+    # direction that flatters efficiency. Other core counts have no
+    # observed calibration data and fall back to the 2/cores scaling
+    # (recorded as band_basis=extrapolated in the pair record).
+    if half_cores == 2:
+        n_wall_max, x4_wall_max = N_WALL_MAX, X4_WALL_MAX
+        band_basis = "calibrated-2core"
+    elif half_cores == 1:
+        n_wall_max, x4_wall_max = 195.0, 60.0
+        band_basis = "calibrated-1core-execU"
+    else:
+        n_wall_max = N_WALL_MAX * (2.0 / half_cores)
+        x4_wall_max = X4_WALL_MAX * (2.0 / half_cores)
+        band_basis = "extrapolated-2/cores"
+    n_wall_max *= n_docs / BAND_REF_DOCS
+    x4_wall_max *= n_docs / BAND_REF_DOCS
     deadline = time.time() + max_minutes * 60
     pairs: list[dict] = []
     gates = 0
@@ -150,17 +169,12 @@ def main() -> None:
             # Three quiet gates per pair vs v3's two — admission is
             # strictly stricter; only the half ORDER changed. All prior
             # executions' classifications are untouched.
-            os.environ["KNX_EXEC_CORES"] = str(half_cores)
-            high = run_config(4, corpus, repeats)
-            del os.environ["KNX_EXEC_CORES"]
+            high = run_config(4, corpus, repeats, exec_cores=half_cores)
             mid_gate = run_config(4, gate_corpus)
             probe_n = cpu_probe()
-            os.environ["KNX_EXEC_CORES"] = str(half_cores)
-            low = run_config(1, corpus, repeats)
-            del os.environ["KNX_EXEC_CORES"]
+            low = run_config(1, corpus, repeats, exec_cores=half_cores)
             end_gate = run_config(4, gate_corpus)
         except RuntimeError as e:
-            os.environ.pop("KNX_EXEC_CORES", None)  # never leak into gates
             _append({"kind": "pair_failed", "gate_wall": gate["wall_sec"],
                      "err": str(e)})
             time.sleep(SLEEP_BETWEEN_GATES_S)
@@ -185,9 +199,20 @@ def main() -> None:
         pair = {
             "kind": "pair",
             "estimator": f"min-of-{repeats}",
-            "protocol": "v4-4nfirst-endgate"
+            # v4.1 (round-5 ADVICE): tag bumped because classification
+            # changed twice without one — (a) the fixed 21.0 s gate band
+            # replaced the CLI gate_quiet_s, (b) 1-core wall bands are now
+            # calibrated (band_basis) instead of 2/cores-extrapolated.
+            # JSONL pairs tagged plain "v4-…" WITHOUT a classify_gate_s
+            # field were classified under the CLI spend gate; "v4-…" WITH
+            # classify_gate_s used the fixed 21.0 band but extrapolated
+            # 1-core walls; "v4.1-…" uses both fixes.
+            "protocol": "v4.1-4nfirst-endgate"
             + ("" if half_cores == 2 else f"-{half_cores}core"),
             "exec_cores": half_cores,
+            "band_basis": band_basis,
+            "n_wall_max": round(n_wall_max, 1),
+            "x4_wall_max": round(x4_wall_max, 1),
             "classify_gate_s": CLASSIFY_GATE_S,
             "gate_wall": gate["wall_sec"],
             "mid_gate_wall": mid_gate["wall_sec"],
@@ -231,7 +256,16 @@ def main() -> None:
         for i, p in enumerate(pairs)
     ) or "| — | — | — | — | — | — | — |"
     with open(HUNT_MD, "w") as f:
-        f.write(f"""## Quiet-window hunt (round 4)
+        f.write(f"""## Quiet-window hunt (round 5, protocol v4.1)
+
+Classification-rule provenance (the JSONL mixes three vintages — see the
+`protocol` + `classify_gate_s` fields per pair): plain `v4-*` pairs
+WITHOUT `classify_gate_s` were classified under the CLI spend gate of
+their execution; `v4-*` WITH `classify_gate_s` used the fixed 21.0 s
+gate band but 2/cores-extrapolated 1-core wall caps (230/80 s); `v4.1-*`
+pairs use the fixed 21.0 s band AND calibrated wall caps (this run:
+{band_basis}, N <= {n_wall_max:.1f} s / 4N <= {x4_wall_max:.1f} s,
+grounded in observed quiet minima rather than wall ∝ 1/cores).
 
 Gate-then-pair protocol: a timed 4N reference job on the {GATE_DOCS}-doc
 corpus must land inside the quiet band (<= {gate_quiet_s} s) before one
