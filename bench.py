@@ -57,6 +57,9 @@ HEADLINE = [
     # round-4 multimodal/interleaved axis
     "mm_captions",
     "kg_pipeline_media",
+    # round-5: the composed flagship read path (Q3) — read-side
+    # regressions are caught the same way pipeline regressions are
+    "kg_retrieve",
 ]
 
 
@@ -173,6 +176,27 @@ def main() -> None:
         "cpus": cpus,
     }
     spark.stop()
+
+    # Regenerate the registry-wide plan-shape sweep at every bench run so
+    # BENCH/PLAN_AUDIT.md can never lag the registry (round-4 VERDICT: the
+    # artifact was 3 queries stale). Runs AFTER spark.stop() — never two
+    # concurrent Spark workloads on this box — with output captured so the
+    # bench contract (ONE JSON line, last) holds.
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    audit = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "plan_audit.py"),
+         "/root/testdata/sf0.01", "--md", os.path.join(repo, "BENCH", "PLAN_AUDIT.md")],
+        capture_output=True, text=True, timeout=1200, cwd=repo,
+    )
+    m = re.search(r"all (\d+) query plans clean", audit.stdout)
+    out["plan_audit"] = {
+        "clean": audit.returncode == 0,
+        "queries": int(m.group(1)) if m else None,
+    }
+
     out["probe_units_per_core_sec"] = {"pre": probe_pre, "post": cpu_probe()}
     print(json.dumps(out))
 

@@ -4683,6 +4683,129 @@ def sql_docs_related():
     """
 
 
+# ------------------------------------------------- flagship retrieval (Q3) --
+
+_RETRIEVE_QUERY = "hash join merge batch scan filter vector column"
+_RETRIEVE_DIM = 16
+
+
+def q_kg_retrieve(spark, sf_dir):
+    """The flagship composed read path (Q3) under the hard gate — the
+    reference's deep_answer_on_graph (query_controller.py:67-95): embed
+    the query (P16) → W2 cosine top-k seed chunks → J5-J7 k-hop
+    expansion with the reference's 0.5 / 0.75 per-hop similarity
+    thresholds (neo4j_manager.py:17-19,30-54) → A8 dedup → W3
+    similarity sort + top-k → J9 edge pruning to the retained node set.
+
+    Runs the REAL ``retrieve()`` composition over the REAL pipeline
+    graph (build_graph over the flat-text connector) with one
+    embedded chunk per document; tagged long format so one value hash
+    covers both result frames: node rows carry (id, hop, similarity),
+    edge rows carry (subj, pred, obj). The oracle re-derives every
+    stage in closed form — md5 feature-hash embeddings (the
+    sql_kg_embed derivation), cosine vs the Python-computed query
+    vector, 0..2-hop BFS over the modular-arithmetic edge set, the
+    threshold gate, and the double semi-join prune. Both hop filters
+    split for real on this corpus (hop-1 keeps a strict subset; hop-2's
+    0.75 bar admits none — the filter executes, deterministically)."""
+    from knowledge_nexus_spark.functions.embed import embed_udf
+    from knowledge_nexus_spark.queries import retrieve
+
+    flat = _t(spark, sf_dir, "documents")
+    docs = flat_docs_to_span_docs(flat)
+    res = build_graph(spark, docs, PipelineConfig(render_content=False))
+    emb = embed_udf(_RETRIEVE_DIM)
+    chunks = flat.select(
+        F.col("doc_id").cast("string").alias("page_id"),
+        F.lit(0).alias("sequence"),
+        F.col("text").alias("content"),
+        emb(F.col("text")).alias("embedding"),
+    )
+    out = retrieve(
+        res.nodes, res.edges, chunks, _RETRIEVE_QUERY,
+        top_k=5, dim=_RETRIEVE_DIM,
+    )
+    nodes = out["nodes"].select(
+        F.lit("node").alias("kind"),
+        F.col("id").alias("a"),
+        F.col("hop").cast("string").alias("b"),
+        F.lit(None).cast("string").alias("c"),
+        F.round(F.col("similarity"), 4).alias("score"),
+    )
+    edges = (
+        out["edges"].select("subj", "pred", "obj").distinct()
+        .select(
+            F.lit("edge").alias("kind"),
+            F.col("subj").alias("a"),
+            F.col("pred").alias("b"),
+            F.col("obj").alias("c"),
+            F.lit(None).cast("double").alias("score"),
+        )
+    )
+    return nodes.unionByName(edges)
+
+
+def sql_kg_retrieve():
+    import math
+
+    from knowledge_nexus_spark.functions.embed import embed_text_py
+
+    qv = embed_text_py(_RETRIEVE_QUERY, _RETRIEVE_DIM)
+    qnorm = math.sqrt(sum(x * x for x in qv))  # norm_col's left fold order
+    qvals = ", ".join(f"({i}, {qv[i]!r})" for i in range(_RETRIEVE_DIM))
+    return f"""
+    WITH nn AS (SELECT count(*) c FROM documents),
+    edges AS (
+      SELECT DISTINCT CAST(doc_id AS VARCHAR) subj, 'CONTAINS' pred,
+             CAST((doc_id*31+7)%(SELECT c FROM nn) AS VARCHAR) obj FROM documents
+      UNION
+      SELECT DISTINCT CAST(doc_id AS VARCHAR), 'REFERENCES',
+             CAST((doc_id*17+3)%(SELECT c FROM nn) AS VARCHAR) FROM documents),
+    toks AS (SELECT doc_id, unnest(regexp_split_to_array(text,'\\s+')) tok FROM documents),
+    h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,16)) AS UBIGINT) hv FROM toks),
+    slots AS (SELECT doc_id, CAST(hv%{_RETRIEVE_DIM} AS INT) idx,
+                     CAST(sum(CASE WHEN (hv>>63)&1=1 THEN 1 ELSE -1 END) AS DOUBLE) cnt
+              FROM h GROUP BY doc_id, idx),
+    norms AS (SELECT doc_id, sqrt(sum(cnt*cnt)) nrm FROM slots GROUP BY doc_id),
+    vec AS (SELECT s.doc_id, s.idx, CAST(CAST(s.cnt/n.nrm AS FLOAT) AS DOUBLE) w
+            FROM slots s JOIN norms n USING(doc_id) WHERE n.nrm > 0),
+    vnorm AS (SELECT doc_id, sqrt(sum(w*w)) nv FROM vec GROUP BY doc_id),
+    qv(idx, qw) AS (VALUES {qvals}),
+    dots AS (SELECT v.doc_id, sum(v.w*q.qw) dp FROM vec v JOIN qv q ON v.idx=q.idx
+             GROUP BY v.doc_id),
+    sc AS (SELECT CAST(d.doc_id AS VARCHAR) id,
+                  COALESCE(dt.dp/(vn.nv*{qnorm!r}), 0.0) score
+           FROM documents d LEFT JOIN dots dt USING(doc_id)
+           LEFT JOIN vnorm vn USING(doc_id)),
+    seeds AS (SELECT id FROM sc ORDER BY score DESC, id LIMIT 5),
+    und AS (SELECT subj a, obj b FROM edges UNION SELECT obj, subj FROM edges),
+    h0 AS (SELECT DISTINCT id FROM seeds),
+    h1 AS (SELECT DISTINCT u.b id FROM und u JOIN h0 ON u.a = h0.id
+           WHERE u.b NOT IN (SELECT id FROM h0)),
+    h2 AS (SELECT DISTINCT u.b id FROM und u JOIN h1 ON u.a = h1.id
+           WHERE u.b NOT IN (SELECT id FROM h0)
+             AND u.b NOT IN (SELECT id FROM h1)),
+    hops AS (SELECT id, 0 hop FROM h0 UNION ALL SELECT id, 1 FROM h1
+             UNION ALL SELECT id, 2 FROM h2),
+    scored AS (
+      SELECT hp.id, hp.hop, COALESCE(sc.score, 0.0) similarity
+      FROM hops hp LEFT JOIN sc ON hp.id = sc.id
+      WHERE hp.hop = 0 OR (hp.hop = 1 AND COALESCE(sc.score, 0.0) > 0.5)
+                       OR (hp.hop = 2 AND COALESCE(sc.score, 0.0) > 0.75)),
+    top_nodes AS (SELECT id, hop, similarity FROM scored
+                  ORDER BY similarity DESC, id LIMIT 20),
+    kept AS (
+      SELECT DISTINCT e.subj, e.pred, e.obj FROM edges e
+      WHERE e.subj IN (SELECT id FROM top_nodes)
+        AND e.obj IN (SELECT id FROM top_nodes))
+    SELECT 'node' kind, id a, CAST(hop AS VARCHAR) b, CAST(NULL AS VARCHAR) c,
+           round(similarity, 4) score
+    FROM top_nodes
+    UNION ALL
+    SELECT 'edge', subj, pred, obj, CAST(NULL AS DOUBLE) FROM kept
+    """
+
+
 QUERIES = {
     "kg_pipeline_triples": q_kg_pipeline_triples,
     "kg_refresh_incremental": q_kg_refresh_incremental,
@@ -4796,6 +4919,7 @@ QUERIES = {
     "kg_media_entities": q_kg_media_entities,
     "kg_pipeline_media": q_kg_pipeline_media,
     "kg_span_integrity": q_kg_span_integrity,
+    "kg_retrieve": q_kg_retrieve,
 }
 
 ORACLE_SQL = {
@@ -4915,4 +5039,5 @@ ORACLE_SQL = {
     "kg_media_entities": sql_kg_media_entities(),
     "kg_pipeline_media": sql_kg_pipeline_media(),
     "kg_span_integrity": sql_kg_span_integrity(),
+    "kg_retrieve": sql_kg_retrieve(),
 }

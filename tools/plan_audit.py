@@ -62,6 +62,8 @@ PYTHON_OK = {
     "dedup_embedding_lsh",  # hyperplane signature matmul (pandas_udf);
                             # appears twice pre-AQE (band self-join
                             # aliases) — ReusedExchange collapses at run
+    "kg_retrieve",          # per-chunk hash embedding (pandas_udf) feeding
+                            # the composed Q3 read path
 }
 
 ROW_PYTHON = "BatchEvalPython"
