@@ -151,6 +151,31 @@ def main() -> None:
     ivf_ids = {r.id for r in QUERIES["ann_ivf"](spark, sf_dir).collect()}
     ivf_recall = round(len(ann_ids & ivf_ids) / max(len(ann_ids), 1), 3)
 
+    # IVF recall where it measures QUALITY: the mixture-of-centroids
+    # corpus has real clusters (closed-form assignment), so nprobe 3/8
+    # recall reflects whether the index finds the true neighbors rather
+    # than ~nprobe/K by construction (round-4 VERDICT watch item)
+    from knowledge_nexus_spark.datagen import generate_clustered_embeddings
+    from knowledge_nexus_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_topk,
+    )
+
+    clus = generate_clustered_embeddings(spark, 2000, dim=32, n_clusters=8).cache()
+    cqv = [float(x) for x in clus.filter("vec_id = 0").first()["embedding"]]
+    cbase = clus.filter("vec_id <> 0")
+    cents, assign = ivf_build(cbase, "vec_id", "embedding", n_clusters=8, iters=2)
+    cexact = {r.id for r in cosine_topk(cbase, "vec_id", "embedding", cqv, 10).collect()}
+    cgot = {
+        r.id
+        for r in ivf_topk(
+            cbase, assign, cents, "vec_id", "embedding", cqv, k=10, nprobe=3
+        ).collect()
+    }
+    ivf_recall_clustered = round(len(cexact & cgot) / max(len(cexact), 1), 3)
+    clus.unpersist()
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
@@ -172,6 +197,8 @@ def main() -> None:
         # plan, not a serving-quality claim (ann_lsh serves that).
         "ann_ivf_recall_at_10": ivf_recall,
         "ann_ivf_nprobe": "3/8",
+        # same nprobe 3/8 on the clustered corpus — the quality number
+        "ann_ivf_recall_clustered_at_10": ivf_recall_clustered,
         "protocol": f"median-of-{repeats} per query",
         "cpus": cpus,
     }

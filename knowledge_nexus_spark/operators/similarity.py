@@ -344,6 +344,7 @@ def tfidf_topk_related(
     text_col: str = "text",
     k: int = 3,
     max_df_ratio: float = 1.0,
+    dimsum_gamma: float | None = None,
 ) -> DataFrame:
     """Top-``k`` most similar documents per document under tf-idf cosine,
     computed as a SPARSE dot-product join over the term inverted index —
@@ -371,10 +372,26 @@ def tfidf_topk_related(
     Scale: the term join's fan-out is Σ_t df(t)² — corpus-universal
     terms make it quadratic, so at web scale pruning them with
     ``max_df_ratio`` is mandatory (their idf ≈ 0 contribution doesn't
-    justify quadratic buckets; DIMSUM-style magnitude sampling is the
-    next step beyond). Integer headroom: sums stay < 2^63
+    justify quadratic buckets). Integer headroom: sums stay < 2^63
     while Σ_shared tf_a·tf_b < ~9·10^6 per pair — thousands of repeated
-    tokens per doc; re-scale the 10^6 weight factor for longer docs."""
+    tokens per doc; re-scale the 10^6 weight factor for longer docs.
+
+    ``dimsum_gamma`` enables DIMSUM-style magnitude sampling (Zadeh &
+    Carlsson, "Dimension Independent Matrix Square using MapReduce",
+    2013 — the algorithm behind Spark MLlib's
+    RowMatrix.columnSimilarities(threshold)): posting (doc i, term t)
+    is kept with probability p_i = min(1, sqrt(γ)/‖c_i‖) and its weight
+    rescaled by 1/p_i, making Σ_t w'_a·w'_b an unbiased estimator of
+    the dot product while bounding expected per-term pair fan-out by
+    ~γ·(df(t)/Σdf)… independent of the worst doc norm — the knob that
+    tames corpus-universal terms when max_df pruning alone can't.
+    Sampling is DETERMINISTIC (xxhash64(term, id) uniform vs p_i), so
+    results are reproducible and property-testable; norms (and thus
+    the cosine denominators) are computed on the UNSAMPLED postings,
+    exactly as DIMSUM prescribes. With γ ≥ max_i ‖c_i‖² every p_i
+    saturates at 1 and the output is BIT-IDENTICAL to the exact path
+    (integer-valued doubles < 2^53 sum exactly in any order) — pinned
+    by tests/test_tfidf_related.py."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
@@ -392,7 +409,40 @@ def tfidf_topk_related(
         )
     post = post.select("id", "term", "w")
     norms = post.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
-    a, b = post.alias("a"), post.alias("b")
+    if dimsum_gamma is not None:
+        import math
+
+        sqrt_g = math.sqrt(float(dimsum_gamma))
+        # p_i from the UNSAMPLED norm (one narrow id-keyed join); the
+        # uniform is a pure hash of (term, id) — executor-side, seedless,
+        # reproducible. Kept weights carry the 1/p_i inflation as DOUBLE
+        # (integer-valued when p_i = 1, so the saturated case stays exact).
+        pairs_in = (
+            post.join(norms, "id")
+            .withColumn(
+                "_p",
+                F.least(
+                    F.lit(1.0),
+                    F.lit(sqrt_g) / F.sqrt(F.col("norm2").cast("double")),
+                ),
+            )
+            .withColumn(
+                "_u",
+                (
+                    F.xxhash64(F.col("term"), F.col("id")).cast("double")
+                    / F.lit(float(2**63))
+                    + F.lit(1.0)
+                )
+                / F.lit(2.0),
+            )
+            .filter(F.col("_u") < F.col("_p"))
+            .select(
+                "id", "term", (F.col("w").cast("double") / F.col("_p")).alias("w")
+            )
+        )
+    else:
+        pairs_in = post
+    a, b = pairs_in.alias("a"), pairs_in.alias("b")
     num = (
         a.join(b, "term")
         .filter(F.col("a.id") < F.col("b.id"))

