@@ -49,8 +49,25 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     min distance (J7 path expansion). Iterative frontier join with a
     left-anti visited check — the loop is driver-side, each round one
     shuffle, bounded by k (the reference caps at 2)."""
-    und = undirected(edges).select("a", "b").distinct()
-    visited = seeds.select(F.col("id")).distinct().withColumn("hop", F.lit(0))
+    # persist the undirected adjacency across rounds: every BFS round
+    # joins AND anti-joins against it, and without the persist each round
+    # re-runs the upstream edge derivation (for the flagship composition
+    # that is the whole extraction pipeline) plus the distinct shuffle.
+    # Safe to unpersist on exit — each round's frontier is eagerly
+    # checkpointed, so the returned frame carries no `und` lineage.
+    und = undirected(edges).select("a", "b").distinct().persist()
+    # eager-checkpoint the seed set: its lineage (typically a top-k over
+    # an embedded chunk scan) would otherwise re-execute in EVERY round's
+    # anti-join AND in the final materialization — k+2 redundant scans of
+    # the most expensive upstream stage (measured 6.2 s -> see bench for
+    # the composed kg_retrieve before/after). Seeds are top-k-sized by
+    # contract, so the checkpoint is tiny.
+    visited = (
+        seeds.select(F.col("id"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
     frontier = visited.select("id")
     for depth in range(1, k + 1):
         nxt = (
@@ -65,6 +82,7 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
             break
         visited = visited.unionByName(nxt)
         frontier = nxt.select("id")
+    und.unpersist()
     return visited
 
 
@@ -94,10 +112,27 @@ def retrieve(
     visualization payload (query_controller.py:67-95)."""
     qvec = embed_text_py(query_text, dim)
 
-    seeds = topk_chunks(chunks, qvec, top_k).select(F.col("page_id").alias("id")).distinct()
+    # score the chunk corpus ONCE and share it between the W2 seed top-k
+    # and the per-page best-similarity aggregate: both consume the same
+    # cosine scan, and when `chunks` embeds on the fly (the flagship
+    # composition) the cache keeps the Arrow embed pass single-shot
+    # instead of once per consumer.
+    scored_chunks = chunk_similarity(chunks, qvec).select(
+        "page_id", "sequence", "content", "score"
+    ).cache()
+    seeds = (
+        scored_chunks.orderBy(
+            F.col("score").desc(), F.col("page_id"), F.col("sequence")
+        )
+        .limit(top_k)
+        .select(F.col("page_id").alias("id"))
+        .distinct()
+    )
     hops = k_hop(edges.filter(F.col("pred") != "HAS_CHUNK"), seeds, k=2)
 
-    sims = page_best_similarity(chunks, qvec)
+    sims = scored_chunks.groupBy(F.col("page_id").alias("id")).agg(
+        F.max("score").alias("similarity")
+    )
     scored = (
         hops.join(sims, "id", "left")
         .withColumn("similarity", F.coalesce(F.col("similarity"), F.lit(0.0)))
