@@ -174,7 +174,37 @@ def main() -> None:
         ).collect()
     }
     ivf_recall_clustered = round(len(cexact & cgot) / max(len(cexact), 1), 3)
+
     clus.unpersist()
+
+    # PQ/ADC on the planted near-dup family corpus — the non-degenerate
+    # ordering task for quantization ANN (on a flat cluster the top-k
+    # margins sit below any codebook's reconstruction error; see the
+    # generator's docstring). Code-table-only scan + exact re-rank of
+    # the 4k leaders: the billion-scale memory-footprint path.
+    from knowledge_nexus_spark.operators.similarity import (
+        cosine_topk as _ctopk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    fam = generate_clustered_embeddings(
+        spark, 2000, dim=32, n_clusters=8, plant_family=10
+    ).cache()
+    fqv = [float(x) for x in fam.filter("vec_id = 0").first()["embedding"]]
+    fbase = fam.filter("vec_id <> 0")
+    cb = pq_train(fbase, "vec_id", "embedding", m=4, k=16, iters=2)
+    pcodes = pq_encode(fbase, "vec_id", "embedding", cb)
+    fexact = {r.id for r in _ctopk(fbase, "vec_id", "embedding", fqv, 10).collect()}
+    pgot = {
+        r.id
+        for r in pq_topk(
+            pcodes, fbase, cb, "vec_id", "embedding", fqv, k=10, rerank=4
+        ).collect()
+    }
+    pq_recall_neardup = round(len(fexact & pgot) / max(len(fexact), 1), 3)
+    fam.unpersist()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -199,6 +229,10 @@ def main() -> None:
         "ann_ivf_nprobe": "3/8",
         # same nprobe 3/8 on the clustered corpus — the quality number
         "ann_ivf_recall_clustered_at_10": ivf_recall_clustered,
+        # PQ ordering quality on the planted near-dup family corpus (the
+        # flat-cluster corpus is degenerate for quantizer ORDERING — see
+        # datagen.generate_clustered_embeddings)
+        "ann_pq_recall_neardup_at_10": pq_recall_neardup,
         "protocol": f"median-of-{repeats} per query",
         "cpus": cpus,
     }

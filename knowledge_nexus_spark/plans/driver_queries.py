@@ -741,6 +741,32 @@ def q_ann_lsh_indexed(spark, sf_dir):
     return res.select("id", F.round("score", 4).alias("score"))
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (rows-only: the PQ codebook is float
+    k-means geometry with no SQL analogue; determinism is pinned by
+    test_pq_deterministic_across_partitioning, the ADC/LUT identity by
+    test_pq_adc_matches_reconstructed_dot, and recall >= 0.9 on the
+    planted near-dup corpus — the non-degenerate ordering task — by
+    test_pq_recall_on_neardup_corpus + the bench metric
+    ann_pq_recall_neardup_at_10). The measured operation is the serving
+    shape end-to-end: train m=4 x k=16 codebooks, encode the corpus to
+    4 codes/vector, ADC-scan ONLY the code table, exact re-rank the
+    4*k leaders. Scores rounded 4dp, fully tie-broken."""
+    from knowledge_nexus_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base = emb.filter("vec_id <> 0")
+    cb = pq_train(base, "vec_id", "embedding", m=4, k=16, iters=2)
+    codes = pq_encode(base, "vec_id", "embedding", cb)
+    res = pq_topk(codes, base, cb, "vec_id", "embedding", qv, k=10, rerank=4)
+    return res.select("id", F.round("score", 4).alias("score"))
+
+
 # ------------------------------------------------------------ text analysis --
 
 def q_text_stats(spark, sf_dir):
@@ -4934,6 +4960,7 @@ QUERIES = {
     "kg_pipeline_media": q_kg_pipeline_media,
     "kg_span_integrity": q_kg_span_integrity,
     "kg_retrieve": q_kg_retrieve,
+    "ann_pq": q_ann_pq,
 }
 
 ORACLE_SQL = {
