@@ -767,6 +767,45 @@ def q_ann_pq(spark, sf_dir):
     return res.select("id", F.round("score", 4).alias("score"))
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVFADC serving refresh end-to-end (rows-only, same float-geometry
+    reason as ann_pq): train the coarse quantizer + residual PQ
+    codebooks, write the code table partitioned by cluster (the probe
+    becomes a partition filter — pinned by
+    test_ivfpq_index_partition_pruned_and_equal), read it back, probe
+    nprobe=3 of 8 with the one-LUT ADC expression, exact re-rank the
+    4*k leaders. Both scale levers composed: probe fraction via
+    partition pruning, bytes/vector via the m-code payload. Fixed temp
+    path in overwrite mode (bench repeats must not leak index copies —
+    same rationale as ann_lsh_indexed)."""
+    import getpass
+    import tempfile
+
+    from knowledge_nexus_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base = emb.filter("vec_id <> 0")
+    cents, cb, codes = ivfpq_build(
+        base, "vec_id", "embedding", n_clusters=8, m=4, k=16, iters=2
+    )
+    path = (
+        f"{tempfile.gettempdir()}/knx_ivfpq_idx_{getpass.getuser()}"
+        f"_{sf_dir.strip('/').replace('/', '_')}/index"
+    )
+    write_ivfpq_index(codes, path)
+    stored = spark.read.parquet(path)
+    res = ivfpq_topk(
+        stored, base, cents, cb, "vec_id", "embedding", qv,
+        k=10, nprobe=3, rerank=4,
+    )
+    return res.select("id", F.round("score", 4).alias("score"))
+
+
 # ------------------------------------------------------------ text analysis --
 
 def q_text_stats(spark, sf_dir):
@@ -4961,6 +5000,7 @@ QUERIES = {
     "kg_span_integrity": q_kg_span_integrity,
     "kg_retrieve": q_kg_retrieve,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
 }
 
 ORACLE_SQL = {

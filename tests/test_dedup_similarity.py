@@ -416,3 +416,45 @@ def test_ivfpq_recall_and_probe_shape(spark):
         ).collect()
     }
     assert len(got & exact) / 10 >= 0.9
+
+
+def test_ivfpq_index_partition_pruned_and_equal(spark, tmp_path):
+    """The stored IVFADC index: (1) the probe scan is PARTITION-PRUNED to
+    the nprobe clusters (PartitionFilters in the physical plan — both
+    scale levers composed: probe fraction via partitions, bytes/vector
+    via codes), and (2) reading through the stored layout returns
+    exactly what the in-memory code frame returns."""
+    from knowledge_nexus_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base = emb.filter("vec_id <> 0")
+    cents, cb, codes = ivfpq_build(
+        base, "vec_id", "embedding", n_clusters=4, m=4, k=8, iters=2
+    )
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(codes, path)
+    stored = spark.read.parquet(path)
+
+    got = ivfpq_topk(
+        stored, base, cents, cb, "vec_id", "embedding", qv,
+        k=5, nprobe=2, rerank=4,
+    )
+    jvm = spark.sparkContext._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cluster" in ln for ln in pf), plan
+
+    want = ivfpq_topk(
+        codes, base, cents, cb, "vec_id", "embedding", qv,
+        k=5, nprobe=2, rerank=4,
+    )
+    assert [(r.id, round(r.score, 6)) for r in got.collect()] == [
+        (r.id, round(r.score, 6)) for r in want.collect()
+    ]
