@@ -48,6 +48,10 @@ def main() -> int:
         if len(sys.argv) > 3
         else os.path.join(REPO, "BENCH", "bench_gated.json")
     )
+    # optional tighter SPEND gate for record attempts (same semantics as
+    # the hunter's CLI gate: decides when to fire, never reclassifies) —
+    # default stays the shared quiet band
+    gate_quiet_s = float(sys.argv[4]) if len(sys.argv) > 4 else GATE_QUIET_S
 
     from bench import ensure_corpus
     from knowledge_nexus_spark.session import get_spark
@@ -70,7 +74,7 @@ def main() -> int:
             {"kind": "bench_gate", "probe": probe, "wall": gate["wall_sec"],
              "tps": gate["triples_per_sec"]}
         )
-        if gate["wall_sec"] > GATE_QUIET_S:
+        if gate["wall_sec"] > gate_quiet_s:
             time.sleep(SLEEP_BETWEEN_GATES_S)
             continue
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
