@@ -806,6 +806,63 @@ def q_ann_ivfpq(spark, sf_dir):
     return res.select("id", F.round("score", 4).alias("score"))
 
 
+def q_text_perplexity(spark, sf_dir):
+    """Unigram-LM perplexity scoring — the CCNet/Wikipedia-LM style
+    quality signal (Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", 2020 filters on LM
+    perplexity; the unigram self-LM is the oracle-friendly stand-in):
+    per-doc mean negative log-likelihood of each token under the
+    corpus's own unigram distribution. High mean_nll = rare-token soup
+    (gibberish/boilerplate candidates), low = stopword-heavy fluent
+    text — the standard curation threshold feed.
+
+    Plan shape (scales): one map-side-combined vocab aggregate, one
+    term-keyed join of the token postings against it (at web scale the
+    vocab is Zipf-bounded — broadcast when it fits, shuffle join
+    otherwise; AQE decides here), one per-doc aggregate. The corpus
+    token total is a single driver scalar (bounded collect, like the
+    query-vector fetches). Fully JVM: explode + groupBy + log."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("c").cast("double") / F.lit(float(total)))).alias(
+                "_ll"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(-F.col("_ll") / F.col("n_tokens"), 6).alias("mean_nll"),
+        )
+    )
+
+
+def sql_text_perplexity():
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, t AS tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents)
+      WHERE t <> ''),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) c FROM toks),
+    vocab AS (SELECT tok, count(*) c FROM toks GROUP BY tok)
+    SELECT toks.doc_id, count(*) AS n_tokens,
+           round(-sum(ln(vocab.c / (SELECT c FROM tot))) / count(*), 6) AS mean_nll
+    FROM toks JOIN vocab USING (tok)
+    GROUP BY toks.doc_id
+    """
+
+
 # ------------------------------------------------------------ text analysis --
 
 def q_text_stats(spark, sf_dir):
@@ -5001,6 +5058,7 @@ QUERIES = {
     "kg_retrieve": q_kg_retrieve,
     "ann_pq": q_ann_pq,
     "ann_ivfpq": q_ann_ivfpq,
+    "text_perplexity": q_text_perplexity,
 }
 
 ORACLE_SQL = {
@@ -5121,4 +5179,5 @@ ORACLE_SQL = {
     "kg_pipeline_media": sql_kg_pipeline_media(),
     "kg_span_integrity": sql_kg_span_integrity(),
     "kg_retrieve": sql_kg_retrieve(),
+    "text_perplexity": sql_text_perplexity(),
 }

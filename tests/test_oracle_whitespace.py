@@ -46,6 +46,7 @@ QUERIES = [
     "dedup_bigram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "text_perplexity",
 ]
 
 ADVERSARIAL = [
