@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 import math
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -28,16 +29,27 @@ from pyspark.sql import types as T
 DEFAULT_DIM = 64
 
 
+@lru_cache(maxsize=1 << 20)
+def _token_hash(token: str) -> int:
+    """md5-derived 64-bit token hash, memoized: corpora have Zipfian
+    vocabularies, so the md5 (the dominant per-token cost of the feature
+    hashing) runs once per DISTINCT token per worker instead of once per
+    occurrence (guide §4.5 — heavyweight work amortized across the task;
+    the module-level cache survives task boundaries under worker reuse).
+    Values are identical to the uncached form by construction."""
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
+
+
 def _token_slot(token: str, dim: int) -> tuple[int, float]:
-    h = int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
+    h = _token_hash(token)
     return h % dim, 1.0 if (h >> 63) & 1 else -1.0
 
 
 def embed_text_py(text: str | None, dim: int = DEFAULT_DIM) -> list[float]:
     vec = np.zeros(dim, dtype=np.float64)
     for tok in (text or "").split():
-        idx, sign = _token_slot(tok, dim)
-        vec[idx] += sign
+        h = _token_hash(tok)
+        vec[h % dim] += 1.0 if (h >> 63) & 1 else -1.0
     n = math.sqrt(float(vec @ vec))
     if n > 0:
         vec /= n
@@ -86,3 +98,42 @@ def cosine_col(a: Column, b: Column) -> Column:
     """Native cosine similarity over two ARRAY<FLOAT> columns (no Python)."""
     denom = norm_col(a) * norm_col(b)
     return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_batched_udf():
+    """Arrow-batched cosine over two ARRAY<FLOAT> columns — bit-identical
+    to ``cosine_col`` but evaluated as numpy matrix work per batch instead
+    of one interpreted higher-order fold per ROW (guide §4.2: hand whole
+    batches to vectorized native libraries; HOF lambdas run outside
+    codegen, so at millions of candidate pairs the interpreted fold is the
+    dominant cost of a verify stage).
+
+    Exactness: products/squares are float64 on float32-widened inputs,
+    exactly like cosine_col's ``cast("double")``; the fold order is
+    replicated with cumsum (sequential left-to-right prefix sums — numpy
+    ``sum`` would use pairwise summation, which differs in ulps), and the
+    ``denom > 0`` guard matches the native ``when/otherwise``. Pinned
+    equal to cosine_col in tests/test_dedup_similarity.py."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.Series([], dtype="float64")
+                continue
+            a = np.vstack(pdf["a"].to_numpy()).astype(np.float64)
+            b = np.vstack(pdf["b"].to_numpy()).astype(np.float64)
+            # cumsum = sequential left fold (bit-identical to the native
+            # aggregate); sum() would be pairwise and drift in ulps
+            dot = np.cumsum(a * b, axis=1)[:, -1]
+            na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
+            denom = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(denom > 0, dot / denom, 0.0)
+            yield pd.Series(out)
+
+    def apply(a: Column, b: Column) -> Column:
+        return _cos(F.struct(a.alias("a"), b.alias("b")))
+
+    return apply

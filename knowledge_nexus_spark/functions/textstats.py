@@ -26,31 +26,62 @@ def token_count(text: Column) -> Column:
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens_col(text)))
 
 
-def stopword_ratio(text: Column) -> Column:
-    toks = tokens_col(text)
+def token_count_from(text: Column, toks: Column) -> Column:
+    """``token_count`` over a PRE-COMPUTED token array column.
+
+    The ``*_from`` family exists so a query computing several metrics can
+    stage ``tokens_col`` ONCE per row and share the array: the plain
+    forms inline the split() into every metric, and array higher-order
+    lambdas evaluate interpreted (outside codegen, no subexpression
+    elimination), so each metric re-tokenized the document. Expressions
+    are otherwise identical — results are bit-for-bit the same."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
+
+
+def stopword_count_from(toks: Column) -> Column:
     stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def stopword_ratio_from(toks: Column, n_stop: Column | None = None) -> Column:
+    n_stop = stopword_count_from(toks) if n_stop is None else n_stop
     return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def lang_id(text: Column, en_threshold: float = 0.05) -> Column:
-    """n-gram-free heuristic: English iff stopword ratio clears a floor AND
-    the text is dominated by ASCII letters."""
-    ascii_ratio = F.when(
+def stopword_ratio(text: Column) -> Column:
+    return stopword_ratio_from(tokens_col(text))
+
+
+def ascii_ratio_col(text: Column) -> Column:
+    return F.when(
         F.length(text) > 0,
         F.length(F.regexp_replace(text, "[^a-zA-Z0-9 .,!?;:'\"-]", "")) / F.length(text),
     ).otherwise(F.lit(0.0))
+
+
+def lang_id_from(
+    stop_ratio: Column, ascii_ratio: Column, en_threshold: float = 0.05
+) -> Column:
     return (
-        F.when((stopword_ratio(text) >= en_threshold) & (ascii_ratio >= 0.9), F.lit("en"))
+        F.when((stop_ratio >= en_threshold) & (ascii_ratio >= 0.9), F.lit("en"))
         .when(ascii_ratio >= 0.9, F.lit("latin-other"))
         .otherwise(F.lit("unknown"))
     )
 
 
-def avg_token_len(text: Column) -> Column:
-    toks = tokens_col(text)
+def lang_id(text: Column, en_threshold: float = 0.05) -> Column:
+    """n-gram-free heuristic: English iff stopword ratio clears a floor AND
+    the text is dominated by ASCII letters."""
+    return lang_id_from(stopword_ratio(text), ascii_ratio_col(text), en_threshold)
+
+
+def avg_token_len_from(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(text: Column) -> Column:
+    return avg_token_len_from(tokens_col(text))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -58,19 +89,27 @@ def punct_ratio(text: Column) -> Column:
     return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
 
 
+def quality_score_from(
+    n: Column, tok_len: Column, stop_ratio: Column, p_ratio: Column
+) -> Column:
+    """``quality_score`` over pre-computed per-row metrics (see the
+    ``*_from`` rationale on token_count_from)."""
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(
+        F.least(n / F.lit(10.0), F.lit(1.0))
+    )
+    tok_ok = F.when((tok_len >= 2.0) & (tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    stop_ok = F.least(stop_ratio / F.lit(0.05), F.lit(1.0))
+    punct_ok = F.when(p_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok * 0.4 + tok_ok * 0.2 + stop_ok * 0.2 + punct_ok * 0.2), 6)
+
+
 def quality_score(text: Column) -> Column:
     """[0,1] heuristic quality: enough tokens, sane token length, some
     stopwords (fluent prose), bounded punctuation. Mirrors the shape of
     Gopher/C4-style quality rules; weights are engine-defined."""
-    n = token_count(text)
-    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(
-        F.least(n / F.lit(10.0), F.lit(1.0))
+    return quality_score_from(
+        token_count(text), avg_token_len(text), stopword_ratio(text), punct_ratio(text)
     )
-    tok_len = avg_token_len(text)
-    tok_ok = F.when((tok_len >= 2.0) & (tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
-    stop_ok = F.least(stopword_ratio(text) / F.lit(0.05), F.lit(1.0))
-    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round((len_ok * 0.4 + tok_ok * 0.2 + stop_ok * 0.2 + punct_ok * 0.2), 6)
 
 
 def doc_fingerprint(text: Column) -> Column:

@@ -220,6 +220,59 @@ def decode_features(assets: DataFrame, real_codecs: bool = False) -> DataFrame:
     return assets.mapInPandas(gen, schema=MEDIA_FEATURES_SCHEMA)
 
 
+def media_features_fused(
+    documents: DataFrame, real_codecs: bool = True
+) -> DataFrame:
+    """Fused synthesize+decode: ONE Python stage computing exactly
+    ``decode_features(media_assets(docs, real_payloads=True), real_codecs)``.
+
+    The unfused pair moves every payload across the JVM↔Python boundary
+    twice (synth UDF → Arrow → JVM → Arrow → decode UDF) even though no
+    JVM operator ever reads the bytes — at ~100 KB/asset that boundary
+    traffic dominates the query (guide §4.1: you control how many columns
+    cross; §8: heavy opaque payloads should move as few times as
+    possible). Here the payload is BORN in Python and CONSUMED in Python,
+    so the fused stage keeps it inside one worker and ships only the
+    typed features back. The repartition by media_ref is retained — in
+    production the synth slot is a blob-storage fetch and the shuffle
+    (of the narrow (doc_id, kind, media_ref) rows only) spreads hot asset
+    hosts across tasks.
+
+    Equality with the unfused pair is pinned in tests
+    (test_multimodal_streaming) and by the media_features hash gate."""
+    kinds = ", ".join(f"'{k}'" for k in MEDIA_KINDS)
+    base = (
+        documents.select("doc_id", F.explode("spans").alias("sp"))
+        .filter(F.expr(f"sp.kind IN ({kinds})"))
+        .select(
+            "doc_id",
+            F.col("sp.kind").alias("kind"),
+            F.col("sp.media_ref").alias("media_ref"),
+        )
+        .repartition(F.col("media_ref"))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _real_decode if real_codecs else _fake_decode
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, ref in zip(
+                pdf["doc_id"], pdf["kind"], pdf["media_ref"]
+            ):
+                payload = synth_payload_py(kind, ref)
+                w, h, nf, feats = decode(kind, payload)
+                rows.append((doc_id, kind, ref, len(payload), w, h, nf, feats))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "media_ref", "byte_len",
+                    "width", "height", "n_frames", "features",
+                ],
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_FEATURES_SCHEMA)
+
+
 def frame_sample(features: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling plan for video assets: one row per sampled frame
     index — a pure native sequence explode, the real decode would slot

@@ -29,8 +29,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from knowledge_nexus_spark.functions.embed import cosine_col
-
 # --- edit distance -------------------------------------------------------
 
 
@@ -476,7 +474,16 @@ def embedding_neardup_pairs(
     (id, band, key) — ids, not vectors. Vectors re-join once per side
     AFTER the candidate dedup, so the bands×rows explosion and the bucket
     shuffle move ~16 bytes/row instead of the full embedding (a 3072-dim
-    float vector would otherwise be shuffled `bands` times per row)."""
+    float vector would otherwise be shuffled `bands` times per row).
+
+    Verify engine (r6): the exact cosine over the candidate pairs runs as
+    a batched numpy matmul-shaped pandas UDF (``cosine_batched_udf``) —
+    bit-identical to the native ``cosine_col`` fold (sequential prefix
+    sums, same float64 widening, same denom guard) but ~an order of
+    magnitude cheaper at millions of pairs, because array higher-order
+    lambdas evaluate interpreted per element (guide §4.2)."""
+    from knowledge_nexus_spark.functions.embed import cosine_batched_udf
+
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     banded = _banded(keyed, "id", "vec", dim, bands, band_planes, seed).select(
         "id", "band", "key"
@@ -491,10 +498,11 @@ def embedding_neardup_pairs(
     )
     va = keyed.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
     vb = keyed.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    cos = cosine_batched_udf()
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .withColumn("cosine", cos(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
@@ -555,38 +563,54 @@ def substring_window_pairs(
 
     Scale shape: the sliding windows are generated NATIVELY inside one
     projection (sequence + transform over the token array — no explode
-    of tokens, no Python) and immediately reduced to 32-hex md5
+    of tokens, no Python) and immediately reduced to 16-byte md5
     fingerprints, so the only wide exchange carries (fingerprint, id) —
     never text. Windows shared by more than ``max_docs_per_window`` docs
     are boilerplate (license blocks, navigation chrome); dropping them
-    BEFORE the self-join caps the pair fan-out per fingerprint at
+    BEFORE pairing caps the pair fan-out per fingerprint at
     C(cap, 2) — the heavy-hitter defence that keeps the join linear at
     100 TB. The cap is part of the operator's contract (mirrored in the
     oracle), not a silent truncation.
 
     No reference analogue (training-data extension surface, SURVEY §8).
-    """
+
+    Plan shape (r6): TWO exchanges total. The fingerprint explode feeds
+    ONE groupBy(h) whose partial collect_set collapses a doc's repeated
+    windows map-side (replacing the old distinct → count-join → self-join
+    chain: 4 exchanges and a doubled subtree); the per-window doc-id sets
+    (≤ cap ids each, bounded) expand to pairs NATIVELY via a nested
+    transform over the sorted set, and only the pair-distinct shuffles
+    again. Fingerprints travel as 16-byte unhex(md5) binaries, not 32-char
+    hex strings — same 128-bit identity, half the exchange bytes
+    (guide §2.3 narrower types)."""
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
     base = df.select(F.col(id_col).alias("id"), toks.alias("tk")).where(
         F.size("tk") >= window
     )
     idx = F.sequence(F.lit(0), F.size("tk") - window)
     wins = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i + 1, window)))
+        idx,
+        lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i + 1, window)))),
     )
-    fp = base.select("id", F.explode(wins).alias("h")).distinct()
-    keep = (
-        fp.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .where(F.col("nd") <= max_docs_per_window)
-        .select("h")
+    grouped = (
+        base.select("id", F.explode(wins).alias("h"))
+        .groupBy("h")
+        .agg(F.collect_set("id").alias("_ids"))
+        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_docs_per_window))
+        .select(F.sort_array("_ids").alias("_ids"))
     )
-    fpk = fp.join(keep, "h")
-    a = fpk.select("h", F.col("id").alias("doc_a"))
-    b = fpk.select("h", F.col("id").alias("doc_b"))
+    ids = F.col("_ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "h")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )

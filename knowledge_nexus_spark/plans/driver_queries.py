@@ -264,18 +264,36 @@ def q_kg_comention(spark, sf_dir):
     Documented cap: only the first COMENTION_CAP entities per context (by
     id, deterministic) participate in pairing; the oracle applies the same
     rule. TPC-H orders have ≤7 lineitems, so results are identical at
-    every sf, while a pathological hub key is bounded at CAP² pairs."""
-    from knowledge_nexus_spark.operators.graphops import cap_group_size
+    every sf, while a pathological hub key is bounded at CAP² pairs.
 
-    li = cap_group_size(
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
-        "l_orderkey", "l_partkey", COMENTION_CAP,
+    Plan shape (r6): ONE groupBy(l_orderkey) collects the per-order
+    partkey list; sort_array + slice applies the cap (identical multiset
+    to the old row_number ≤ CAP window) and a nested native transform
+    expands the strict i<j pairs in place — replacing the former
+    window-cap subtree + equi-self-join, which shuffled and sorted the
+    fact table twice and planned the cap machinery once per join side
+    (guide §2.4 remove shuffles outright). The pair aggregation and
+    TakeOrdered top-10 are unchanged, so results are identical (hash
+    gate + oracle SQL untouched)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    vs = F.slice(
+        F.sort_array(F.collect_list("l_partkey")), 1, COMENTION_CAP
     )
-    a, b = li.alias("a"), li.alias("b")
+    grouped = li.groupBy("l_orderkey").agg(vs.alias("_ps"))
+    ps = F.col("_ps")
+    pairs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda y: F.struct(x.alias("e1"), y.alias("e2")),
+            ),
+        )
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(F.col("a.l_partkey").alias("e1"), F.col("b.l_partkey").alias("e2"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.e1") < F.col("p.e2"))
+        .groupBy(F.col("p.e1").alias("e1"), F.col("p.e2").alias("e2"))
         .agg(F.count(F.lit(1)).alias("strength"))
         .orderBy(F.col("strength").desc(), "e1", "e2")
         .limit(10)
@@ -866,11 +884,18 @@ def sql_text_perplexity():
 # ------------------------------------------------------------ text analysis --
 
 def q_text_stats(spark, sf_dir):
+    # r6: the token array is staged ONCE per row and shared by both
+    # token metrics — the inline form re-ran the split() regex per metric
+    # because HOF lambdas evaluate interpreted with no subexpression
+    # elimination (guide §4.2); expressions (hence results) are unchanged.
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    staged = docs.select(
+        "doc_id", "text", ts.tokens_col(F.col("text")).alias("_tk")
+    )
+    return staged.select(
         "doc_id",
-        ts.token_count(F.col("text")).alias("n_tokens"),
-        F.round(ts.avg_token_len(F.col("text")), 6).alias("avg_tok_len"),
+        ts.token_count_from(F.col("text"), F.col("_tk")).alias("n_tokens"),
+        F.round(ts.avg_token_len_from(F.col("_tk")), 6).alias("avg_tok_len"),
         ts.doc_fingerprint(F.col("text")).alias("fp"),
     )
 
@@ -893,13 +918,25 @@ def sql_text_stats():
 
 
 def q_text_lang(spark, sf_dir):
+    # r6: tokens + the stopword filter each evaluate ONCE (staged
+    # projections); the inline form ran the split() three times and the
+    # stopword HOF twice per row. Same expressions, identical results.
     docs = _t(spark, sf_dir, "documents")
-    toks = ts.tokens_col(F.col("text"))
-    stop = F.array(*[F.lit(w) for w in ts.EN_STOPWORDS])
-    return docs.select(
+    staged = docs.select(
+        "doc_id", "text", ts.tokens_col(F.col("text")).alias("_tk")
+    )
+    metrics = staged.select(
         "doc_id",
-        ts.lang_id(F.col("text")).alias("lang_pred"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("n_stop"),
+        "_tk",
+        ts.stopword_count_from(F.col("_tk")).alias("_nstop"),
+        ts.ascii_ratio_col(F.col("text")).alias("_ar"),
+    )
+    return metrics.select(
+        "doc_id",
+        ts.lang_id_from(
+            ts.stopword_ratio_from(F.col("_tk"), F.col("_nstop")), F.col("_ar")
+        ).alias("lang_pred"),
+        F.col("_nstop").alias("n_stop"),
     )
 
 
@@ -1430,13 +1467,31 @@ def sql_events_range_agg():
 
 def q_text_quality(spark, sf_dir):
     """Gopher/C4-style document quality scoring (functions/textstats) —
-    pure native column expressions, zero Python in the hot path."""
+    pure native column expressions, zero Python in the hot path.
+
+    r6: each base metric (token count, avg token length, stopword ratio,
+    punct ratio) is staged once and shared between the composite quality
+    score and its reported components — the inline form re-tokenized the
+    document ~6× per row (HOF lambdas are interpreted, no subexpression
+    elimination). Same expressions, identical results."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    staged = docs.select(
+        "doc_id", "text", ts.tokens_col(F.col("text")).alias("_tk")
+    )
+    metrics = staged.select(
         "doc_id",
-        ts.quality_score(F.col("text")).alias("quality"),
-        F.round(ts.punct_ratio(F.col("text")), 6).alias("punct_r"),
-        F.round(ts.stopword_ratio(F.col("text")), 6).alias("stop_r"),
+        ts.token_count_from(F.col("text"), F.col("_tk")).alias("_n"),
+        ts.avg_token_len_from(F.col("_tk")).alias("_tl"),
+        ts.stopword_ratio_from(F.col("_tk")).alias("_sr"),
+        ts.punct_ratio(F.col("text")).alias("_pr"),
+    )
+    return metrics.select(
+        "doc_id",
+        ts.quality_score_from(
+            F.col("_n"), F.col("_tl"), F.col("_sr"), F.col("_pr")
+        ).alias("quality"),
+        F.round(F.col("_pr"), 6).alias("punct_r"),
+        F.round(F.col("_sr"), 6).alias("stop_r"),
     )
 
 
@@ -1939,8 +1994,13 @@ def q_media_features(spark, sf_dir):
     touches a codec: container dimensions are closed-form functions of
     sha256(media_ref), so DuckDB recomputes the expected metadata
     arithmetically — two fully independent derivations of the same
-    values. Feature vectors stay pytest-pinned (multimodal tests)."""
-    from knowledge_nexus_spark.multimodal import decode_features, media_assets
+    values. Feature vectors stay pytest-pinned (multimodal tests).
+
+    r6 optimization: synth+decode run FUSED in one Python stage
+    (media_features_fused) — the payload bytes are born and consumed in
+    the same worker instead of crossing the JVM↔Python boundary twice;
+    results are identical (fused≡unfused pinned in tests + this gate)."""
+    from knowledge_nexus_spark.multimodal import media_features_fused
 
     docs = _t(spark, sf_dir, "documents")
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"), F.lit("pdf"))
@@ -1959,9 +2019,7 @@ def q_media_features(spark, sf_dir):
             )
         ).alias("spans"),
     )
-    feats = decode_features(
-        media_assets(with_spans, real_payloads=True), real_codecs=True
-    )
+    feats = media_features_fused(with_spans, real_codecs=True)
     return feats.select(
         "doc_id",
         "kind",

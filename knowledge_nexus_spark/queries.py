@@ -62,27 +62,32 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     # the most expensive upstream stage (measured 6.2 s -> see bench for
     # the composed kg_retrieve before/after). Seeds are top-k-sized by
     # contract, so the checkpoint is tiny.
-    visited = (
-        seeds.select(F.col("id"))
-        .distinct()
-        .withColumn("hop", F.lit(0))
-        .localCheckpoint(eager=True)
-    )
-    frontier = visited.select("id")
-    for depth in range(1, k + 1):
-        nxt = (
-            und.join(frontier, und["a"] == frontier["id"], "inner")
-            .select(F.col("b").alias("id"))
+    try:
+        visited = (
+            seeds.select(F.col("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
-            .withColumn("hop", F.lit(depth))
+            .withColumn("hop", F.lit(0))
+            .localCheckpoint(eager=True)
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt)
-        frontier = nxt.select("id")
-    und.unpersist()
+        frontier = visited.select("id")
+        for depth in range(1, k + 1):
+            nxt = (
+                und.join(frontier, und["a"] == frontier["id"], "inner")
+                .select(F.col("b").alias("id"))
+                .distinct()
+                .join(visited.select("id"), "id", "left_anti")
+                .withColumn("hop", F.lit(depth))
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt)
+            frontier = nxt.select("id")
+    finally:
+        # unpersist even when a BFS round throws (r5 advisory): every
+        # round is eagerly checkpointed, so the returned frame carries no
+        # `und` lineage either way
+        und.unpersist()
     return visited
 
 
@@ -150,6 +155,14 @@ def retrieve(
         .limit(max(top_k * 4, top_k))
         .select("id", "title", "type", "similarity", "hop", "content")
     )
+    # eager-checkpoint the (top-k-sized) retained node set: the J9 edge
+    # prune references it TWICE (subj + obj semi-joins), so without the
+    # cut the entire seeds→hops→score→join subtree plans and runs once
+    # per semi-join; the checkpoint also lets scored_chunks unpersist
+    # HERE instead of leaking one cached chunk scan per invocation
+    # (r5 advisory) — after it, no returned frame holds chunk lineage.
+    top_nodes = top_nodes.localCheckpoint(eager=True)
+    scored_chunks.unpersist()
 
     ids = top_nodes.select("id")
     kept_edges = (

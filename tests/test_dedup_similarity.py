@@ -164,6 +164,47 @@ def test_embedding_lsh_agrees_with_exact(spark):
         assert len(approx) / len(exact) >= 0.5
 
 
+def test_cosine_batched_bit_identical_to_native(spark):
+    """r6 optimization pin: the numpy-batched cosine (the LSH verify
+    engine) must equal the native cosine_col fold BIT-FOR-BIT — same
+    float64 widening, same sequential fold order (cumsum, not pairwise
+    sum), same denom>0 guard — including the zero-vector branch."""
+    import struct as _struct
+
+    from knowledge_nexus_spark.functions.embed import cosine_batched_udf, cosine_col
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(
+        (F.col("vec_id") + 7).alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, a["id_a"] == b["id_b"] % 50)
+    cos = cosine_batched_udf()
+    both = pairs.select(
+        "id_a", "id_b",
+        cosine_col(F.col("va"), F.col("vb")).alias("native"),
+        cos(F.col("va"), F.col("vb")).alias("batched"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        # bit equality, not approximate
+        assert _struct.pack("<d", r.native) == _struct.pack("<d", r.batched), (
+            r.id_a, r.id_b, r.native, r.batched,
+        )
+    # zero-vector guard branch
+    zdf = spark.createDataFrame(
+        [([0.0] * 4, [1.0, 0.0, 0.0, 0.0])], ["va", "vb"]
+    ).select(
+        F.col("va").cast("array<float>").alias("va"),
+        F.col("vb").cast("array<float>").alias("vb"),
+    )
+    zr = zdf.select(
+        cosine_col(F.col("va"), F.col("vb")).alias("native"),
+        cos(F.col("va"), F.col("vb")).alias("batched"),
+    ).first()
+    assert zr.native == 0.0 and zr.batched == 0.0
+
+
 def test_ann_contains_true_top1(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     qv = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]

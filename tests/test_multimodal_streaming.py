@@ -62,6 +62,26 @@ def test_real_codec_decode_end_to_end(spark):
             assert r.n_frames == 1
 
 
+def test_media_features_fused_equals_unfused(spark):
+    """r6 optimization pin: the fused synth+decode stage must produce
+    EXACTLY the rows of decode_features(media_assets(real_payloads=True),
+    real_codecs=True) — the payload just never crosses the JVM↔Python
+    boundary in the fused plan."""
+    from knowledge_nexus_spark.multimodal import media_features_fused
+
+    docs = generate_documents(spark, CFG)
+    unfused = decode_features(
+        media_assets(docs, real_payloads=True), real_codecs=True
+    )
+    fused = media_features_fused(docs, real_codecs=True)
+    key = lambda r: (r.doc_id, r.kind, r.media_ref)  # noqa: E731
+    a = sorted(unfused.collect(), key=key)
+    b = sorted(fused.collect(), key=key)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra == rb
+
+
 def test_real_codecs_reject_malformed_payloads(spark):
     """Opaque (non-container) payloads must fail loudly under real_codecs —
     no silent garbage features."""
