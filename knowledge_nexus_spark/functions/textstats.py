@@ -39,8 +39,10 @@ def token_count_from(text: Column, toks: Column) -> Column:
 
 
 def stopword_count_from(toks: Column) -> Column:
-    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    # isin compiles to an InSet hash probe per token; the previous
+    # array_contains scanned the 20-element literal array per token.
+    # Identical booleans for the (never-null) token inputs.
+    return F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
 
 
 def stopword_ratio_from(toks: Column, n_stop: Column | None = None) -> Column:

@@ -132,8 +132,12 @@ def media_assets(documents: DataFrame, real_payloads: bool = False) -> DataFrame
     # the post-shuffle (media_ref-hashed) tasks for the redistribution to
     # spread load across asset hosts — projecting first would run the
     # fetch in the explode's partitioning and shuffle only the fetched
-    # bytes (heavier AND still hot-host-pinned).
-    return base.repartition(F.col("media_ref")).withColumn("payload", payload)
+    # bytes (heavier AND still hot-host-pinned). The partition count is
+    # pinned (defaultParallelism) because AQE coalesces an unnumbered
+    # repartition by BYTES — these rows are ~60 B but cost ~0.2 ms of
+    # Python each, so byte-sized coalescing serializes the fetch+decode.
+    n = documents.sparkSession.sparkContext.defaultParallelism
+    return base.repartition(n, F.col("media_ref")).withColumn("payload", payload)
 
 
 # ----------------------------------------------------------------- decode --
@@ -249,7 +253,12 @@ def media_features_fused(
             F.col("sp.kind").alias("kind"),
             F.col("sp.media_ref").alias("media_ref"),
         )
-        .repartition(F.col("media_ref"))
+        # pinned count: see media_assets — AQE would coalesce the narrow
+        # rows to 1-2 byte-sized tasks and serialize the Python stage
+        .repartition(
+            documents.sparkSession.sparkContext.defaultParallelism,
+            F.col("media_ref"),
+        )
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

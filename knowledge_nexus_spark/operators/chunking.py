@@ -53,7 +53,12 @@ def chunk_and_embed(
     gated = nodes.filter(F.col("type").isin("Page", "Database")).select(
         "id", "title", "last_edited_time", "content"
     )
-    return gated.mapInPandas(gen, schema=CHUNKS_SCHEMA)
+    # single-row-group inputs plan a 1-task scan; the chunk+embed UDF is
+    # the expensive stage, so guarantee it fans out (no-op when the
+    # upstream already has >= cores partitions — see partitioning.py)
+    from knowledge_nexus_spark.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(gated).mapInPandas(gen, schema=CHUNKS_SCHEMA)
 
 
 def has_chunk_triples(chunks: DataFrame) -> DataFrame:

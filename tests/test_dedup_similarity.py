@@ -171,7 +171,11 @@ def test_cosine_batched_bit_identical_to_native(spark):
     sum), same denom>0 guard — including the zero-vector branch."""
     import struct as _struct
 
-    from knowledge_nexus_spark.functions.embed import cosine_batched_udf, cosine_col
+    from knowledge_nexus_spark.functions.embed import (
+        cosine_batched_udf,
+        cosine_col,
+        cosine_pairs_arrow,
+    )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
@@ -190,6 +194,15 @@ def test_cosine_batched_bit_identical_to_native(spark):
         # bit equality, not approximate
         assert _struct.pack("<d", r.native) == _struct.pack("<d", r.batched), (
             r.id_a, r.id_b, r.native, r.batched,
+        )
+    # the mapInArrow pair variant must agree bit-for-bit too
+    arrow_rows = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_arrow(pairs, "va", "vb").collect()
+    }
+    for r in both:
+        assert _struct.pack("<d", r.native) == _struct.pack(
+            "<d", arrow_rows[(r.id_a, r.id_b)]
         )
     # zero-vector guard branch
     zdf = spark.createDataFrame(
