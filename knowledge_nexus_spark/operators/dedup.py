@@ -582,10 +582,10 @@ def substring_window_pairs(
     shuffle engine): two docs pair iff they share ANY run of ``window``
     consecutive tokens.
 
-    Scale shape: the sliding windows are generated NATIVELY inside one
-    projection (sequence + transform over the token array — no explode
-    of tokens, no Python) and immediately reduced to 16-byte md5
-    fingerprints, so the only wide exchange carries (fingerprint, id) —
+    Scale shape: the sliding windows are generated in one Arrow stage
+    (hashlib md5 per window, set-deduped per doc before anything is
+    emitted) and reduced to 16-byte md5 fingerprints, so the only wide
+    exchange carries (fingerprint, id) —
     never text. Windows shared by more than ``max_docs_per_window`` docs
     are boilerplate (license blocks, navigation chrome); dropping them
     BEFORE pairing caps the pair fan-out per fingerprint at
@@ -595,34 +595,84 @@ def substring_window_pairs(
 
     No reference analogue (training-data extension surface, SURVEY §8).
 
-    Plan shape (r6): TWO exchanges total. The fingerprint explode feeds
-    ONE groupBy(h) whose partial collect_set collapses a doc's repeated
-    windows map-side (replacing the old distinct → count-join → self-join
-    chain: 4 exchanges and a doubled subtree); the per-window doc-id sets
-    (≤ cap ids each, bounded) expand to pairs NATIVELY via a nested
-    transform over the sorted set, and only the pair-distinct shuffles
-    again. Fingerprints travel as 16-byte unhex(md5) binaries, not 32-char
-    hex strings — same 128-bit identity, half the exchange bytes
-    (guide §2.3 narrower types)."""
+    Plan shape (r6): the Arrow window stage feeds ONE hash repartition
+    on h that serves BOTH the hot-window count prefilter and the
+    collect_set id-set aggregation (replacing the old distinct →
+    count-join → self-join chain: 4 exchanges and a doubled subtree);
+    the per-window doc-id sets (≤ cap ids, the prefilter drops
+    boilerplate windows BEFORE any set is materialized) expand to pairs
+    natively via a nested transform over the sorted set, and only the
+    pair-distinct shuffles again. Fingerprints travel as 16-byte md5
+    binaries, not 32-char hex strings — same 128-bit identity, half the
+    exchange bytes (guide §2.3 narrower types)."""
+    import pyarrow as pa
+    from pyspark.sql import types as ST
+
     from knowledge_nexus_spark.partitioning import ensure_min_parallelism
 
-    # spread the heavy per-row window-hash projection across cores — the
-    # source tables are single-row-group files whose scans cannot split
+    # Window fingerprints are generated in ONE Arrow stage (hashlib md5
+    # per window, per-doc set-deduped in Python) — same 16-byte digests
+    # as the former unhex(md5(concat_ws)) array transform (md5 is md5),
+    # but without interpreter dispatch per window (array HOF lambdas run
+    # outside codegen, guide §4.2), and already deduplicated within the
+    # doc so the exchange carries each (id, h) once. Tokenizer parity:
+    # trim spaces only, lower, regex split — see fingerprint_summary_arrow.
+    id_field = df.schema[id_col]
+    out_schema = ST.StructType(
+        [
+            ST.StructField("id", id_field.dataType, id_field.nullable),
+            ST.StructField("h", ST.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            texts = b.column(1).to_pylist()
+            o_id, o_h = [], []
+            for did, tx in zip(ids, texts):
+                toks = re.split(r"\s+", (tx or "").strip(" ").lower())
+                if len(toks) < window:
+                    continue
+                seen = set()
+                for i in range(len(toks) - window + 1):
+                    seen.add(
+                        hashlib.md5(" ".join(toks[i : i + window]).encode()).digest()
+                    )
+                o_id.extend([did] * len(seen))
+                o_h.extend(seen)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_id, b.schema.field(0).type), pa.array(o_h, pa.binary())],
+                ["id", "h"],
+            )
+
     base = ensure_min_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_tx"))
-    ).select("id", F.split(F.lower(F.trim("_tx")), r"\s+").alias("tk")).where(
-        F.size("tk") >= window
     )
-    idx = F.sequence(F.lit(0), F.size("tk") - window)
-    wins = F.transform(
-        idx,
-        lambda i: F.unhex(F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i + 1, window)))),
+    # ONE hash exchange on h serves count-prefilter AND the id-set
+    # collection: the explicit repartition's HashPartitioning satisfies
+    # both aggregations' required distribution (no further Exchange; the
+    # shared subtree reuses the one shuffle), and the anti-join of the
+    # (h-partitioned) hot-window set happens BEFORE collect_set — a
+    # boilerplate window shared by millions of docs is dropped from
+    # counts, never materialized as an id set in one aggregation buffer
+    # (the heavy-hitter defence the pre-r6 count-then-join plan had).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    fp = base.mapInArrow(gen, schema=out_schema).repartition(n_parts, "h")
+    hot = (
+        fp.groupBy("h")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .where(F.col("_nd") > max_docs_per_window)
+        .select("h")
     )
     grouped = (
-        base.select("id", F.explode(wins).alias("h"))
+        fp.join(hot, "h", "left_anti")
         .groupBy("h")
         .agg(F.collect_set("id").alias("_ids"))
-        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_docs_per_window))
+        .where(F.size("_ids") >= 2)
         .select(F.sort_array("_ids").alias("_ids"))
     )
     ids = F.col("_ids")

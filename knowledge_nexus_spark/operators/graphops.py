@@ -33,10 +33,16 @@ def _freshness_window(documents: DataFrame) -> DataFrame:
     # ties — a peers-frame count over the same doc_id exchange finds them.
     # Hashing the wide spans payload unconditionally measured ~13% of the
     # whole pipeline wall; ties are ~0 rows, so the guard removes the cost.
+    # stage the parsed timestamp once: both window sorts order by it, and
+    # an inline to_timestamp would be re-parsed per sort comparison
+    # evaluation (two Window operators share the exchange but not the
+    # sort expression) — results identical, the column is dropped after.
+    staged = documents.withColumn(
+        "_pts",
+        F.to_timestamp(F.col("last_edited_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"),
+    )
     order = [
-        F.to_timestamp(
-            F.col("last_edited_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"
-        ).desc_nulls_last(),
+        F.col("_pts").desc_nulls_last(),
         F.col("last_edited_time").desc_nulls_last(),
     ]
     w_peers = (
@@ -44,7 +50,7 @@ def _freshness_window(documents: DataFrame) -> DataFrame:
         .orderBy(*order)
         .rangeBetween(Window.currentRow, Window.currentRow)
     )
-    tied = documents.withColumn("_nver", F.count(F.lit(1)).over(w_peers))
+    tied = staged.withColumn("_nver", F.count(F.lit(1)).over(w_peers))
     tiebreak = (
         F.when(F.col("_nver") > 1, F.xxhash64(F.col("title"), F.col("spans")))
         .otherwise(F.lit(0).cast("long"))
@@ -53,7 +59,7 @@ def _freshness_window(documents: DataFrame) -> DataFrame:
     return (
         tied.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_nver")
+        .drop("_rn", "_nver", "_pts")
     )
 
 

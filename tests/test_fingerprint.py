@@ -124,3 +124,37 @@ def test_explode_path_has_no_inlined_filter(spark, docs_df):
     for line in plan.splitlines():
         if "Filter" in line:
             assert "array_min" not in line, line
+
+
+def test_arrow_winnow_bit_identical_to_native(spark):
+    """r6 optimization pin: the Arrow winnow engine (hashlib md5 + numpy
+    sliding minima) must produce EXACTLY the native array-expression
+    summary — same integers, same rows — including whitespace edge
+    cases (leading tab survives the spaces-only trim and yields an
+    empty first token in both tokenizers)."""
+    from knowledge_nexus_spark.operators.fingerprint import (
+        fingerprint_summary,
+        fingerprint_summary_arrow,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (9001, "\talpha beta gamma delta epsilon zeta"),
+            (9002, "  spaced   out\ttokens\nnewlines here too  "),
+            (9003, "ab"),                    # sub-k: excluded by both
+            (9004, "one two three"),         # exactly k tokens
+            (9005, ""),                      # empty
+        ],
+        ["doc_id", "text"],
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    a = {
+        r.doc_id: (r.n_fps, r.fp_min, r.fp_max, r.fp_check)
+        for r in fingerprint_summary(both, "doc_id", "text").collect()
+    }
+    b = {
+        r.doc_id: (r.n_fps, r.fp_min, r.fp_max, r.fp_check)
+        for r in fingerprint_summary_arrow(both, "doc_id", "text").collect()
+    }
+    assert a == b and len(a) > 0

@@ -64,6 +64,10 @@ PYTHON_OK = {
                             # aliases) — ReusedExchange collapses at run
     "kg_retrieve",          # per-chunk hash embedding (pandas_udf) feeding
                             # the composed Q3 read path
+    "text_fingerprint",     # r6: Arrow winnow engine (hashlib md5 + numpy
+                            # sliding minima) — bit-identical to the native
+                            # array program, 2.1x faster (guide §4.2)
+    "dedup_substring",      # r6: Arrow window-hash stage, same rationale
 }
 
 ROW_PYTHON = "BatchEvalPython"
