@@ -60,7 +60,10 @@ def q_kg_pipeline_triples(spark, sf_dir):
     """The KG pipeline end-to-end over the flat-text connector: extract →
     orphan clean → MERGE-distinct. Oracle reproduces the deterministic
     link rules in SQL."""
-    flat = _spread(_t(spark, sf_dir, "documents"))
+    # r6 note: spreading `flat` was A/B-measured slower — the span lift
+    # is a cheap projection and the freshness window's own exchange is
+    # the first heavy stage, so an extra up-front shuffle buys nothing.
+    flat = _t(spark, sf_dir, "documents")
     docs = flat_docs_to_span_docs(flat)
     res = build_graph(spark, docs, PipelineConfig(render_content=False))
     return res.edges.select("subj", "pred", "obj").distinct()
@@ -122,7 +125,7 @@ def q_kg_pipeline_media(spark, sf_dir):
     the link rules AND the media layout in closed form; media spans emit
     no extraction triples, so CONTAINS/REFERENCES stay bit-identical to
     kg_pipeline_triples."""
-    flat = _spread(_t(spark, sf_dir, "documents"))
+    flat = _t(spark, sf_dir, "documents")
     docs = flat_docs_to_span_docs(flat, with_media=True)
     res = build_graph(
         spark, docs, PipelineConfig(render_content=False, with_media=True)
@@ -229,14 +232,11 @@ def sql_kg_freshness_dedup():
 
 def q_kg_orphan_clean(spark, sf_dir):
     """J1 double left-semi: keep (order, part) triples whose endpoints are
-    both in the retained node sets. r6: fact side projected to the three
-    consumed columns and spread before the semi-join probes (same
-    rationale as tpch_region_revenue)."""
-    li = _spread(
-        _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey", "l_returnflag"
-        )
-    )
+    both in the retained node sets. (r6 note: a narrow+spread of the
+    fact side was A/B-measured SLOWER here at both sf0.1 and sf1 — the
+    semi-joins shuffle the fact anyway, so the extra exchange buys
+    nothing; deliberately left at the scan's partitioning.)"""
+    li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000).select("o_orderkey")
     parts = _t(spark, sf_dir, "part").filter(F.col("p_size") < 30).select("p_partkey")
     kept = (
@@ -692,14 +692,15 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    """W2 brute-force cosine top-k vs the vec_id=0 embedding. r6: the
-    scored scan is spread — the interpreted per-row cosine fold ran on
-    the single-row-group file's one scan task."""
+    """W2 brute-force cosine top-k vs the vec_id=0 embedding. (r6 note:
+    spreading the scored scan was measured slightly SLOWER at both
+    scales — the corpus is small enough that the repartition overhead
+    exceeds the 1-task cosine fold; left at scan partitioning.)"""
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     qcol = F.array(*[F.lit(x) for x in qv])
     return (
-        _spread(emb.filter("vec_id <> 0"))
+        emb.filter("vec_id <> 0")
         .select(
             F.col("vec_id").alias("id"),
             F.round(cosine_col(F.col("embedding"), qcol), 4).alias("score"),
@@ -4952,11 +4953,14 @@ def q_kg_retrieve(spark, sf_dir):
     from knowledge_nexus_spark.functions.embed import embed_udf
     from knowledge_nexus_spark.queries import retrieve
 
-    flat = _spread(_t(spark, sf_dir, "documents"))
+    flat = _t(spark, sf_dir, "documents")
     docs = flat_docs_to_span_docs(flat)
     res = build_graph(spark, docs, PipelineConfig(render_content=False))
     emb = embed_udf(_RETRIEVE_DIM)
-    chunks = flat.select(
+    # only the chunk-embed branch is spread: the Arrow embed UDF fuses
+    # into the (unsplittable) scan, while the build side's first heavy
+    # stage sits behind the freshness window's own exchange
+    chunks = _spread(flat).select(
         F.col("doc_id").cast("string").alias("page_id"),
         F.lit(0).alias("sequence"),
         F.col("text").alias("content"),
