@@ -291,8 +291,17 @@ def q_kg_comention(spark, sf_dir):
     fact table twice and planned the cap machinery once per join side
     (guide §2.4 remove shuffles outright). The pair aggregation and
     TakeOrdered top-10 are unchanged, so results are identical (hash
-    gate + oracle SQL untouched)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    gate + oracle SQL untouched).
+
+    The grouping key is near-unique (orderkeys ≈ rows/4), so the
+    collect_list runs as a COMPLETE aggregate after an explicit hash
+    repartition instead of partial+final (the partial phase barely
+    combines while double-hashing every row — same finding as
+    tpch_top_orders; A/B at sf1: 3.13 → 2.64 s with a far tighter
+    spread, 2.64–2.79 vs 3.13–6.05)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     vs = F.slice(
         F.sort_array(F.collect_list("l_partkey")), 1, COMENTION_CAP
     )
